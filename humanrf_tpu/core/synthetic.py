@@ -1,0 +1,207 @@
+"""Synthetic ActorsHQ-format dataset generator.
+
+The reference dataset is gated behind credentials
+(`/root/reference/actorshq/dataset/download_manager.py`, `README.md:84-97`), and the
+reference ships no test fixtures (SURVEY.md §4). This module procedurally
+generates a tiny scene — a colored sphere "actor" that can drift over time,
+observed by cameras on a circle — written in the exact on-disk schema of
+`actorshq/dataset/volumetric_dataset.py:16-73`, so the full pipeline
+(data loader → sampling → rendering → training → evaluation) runs hermetically.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Tuple
+
+import cv2
+import numpy as np
+
+from humanrf_tpu.core.aabb import AabbData, write_aabbs_csv
+from humanrf_tpu.core.camera import CameraData, write_calibration_csv
+
+
+@dataclass
+class SyntheticSceneConfig:
+    num_cameras: int = 8
+    width: int = 64
+    height: int = 64
+    num_frames: int = 2
+    first_frame: int = 0
+    sphere_radius: float = 0.35
+    # Sphere center drifts linearly from `center_start` to `center_end` over the frames.
+    center_start: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    center_end: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    camera_distance: float = 3.0
+    grid_resolution: int = 64
+    # World-space half-extent of per-frame AABBs around the sphere.
+    aabb_margin: float = 0.1
+    focal: float = 1.2  # normalized focal length
+
+
+def _look_at_cam2world(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """RDF camera-to-world rotation: camera +z looks from eye toward target,
+    +x right, +y down (COLMAP convention, `camera_data.py:17-29`)."""
+    forward = target - eye
+    forward = forward / np.linalg.norm(forward)
+    world_up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(forward, world_up)) > 0.99:
+        world_up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(forward, -world_up)
+    right = right / np.linalg.norm(right)
+    down = np.cross(forward, right)
+    R = np.stack([right, down, forward], axis=1)  # columns are camera axes in world
+    return R
+
+
+def make_cameras(cfg: SyntheticSceneConfig) -> List[CameraData]:
+    from scipy.spatial.transform import Rotation
+
+    cameras = []
+    center = np.array([0.0, 0.0, 0.0])
+    for i in range(cfg.num_cameras):
+        angle = 2 * np.pi * i / cfg.num_cameras
+        # Alternate slightly in elevation so the visual hull is well-constrained.
+        z = 0.4 * np.sin(2 * angle + 0.5)
+        eye = np.array(
+            [cfg.camera_distance * np.cos(angle), cfg.camera_distance * np.sin(angle), z]
+        )
+        R = _look_at_cam2world(eye, center)
+        cameras.append(
+            CameraData(
+                name=f"Cam{i + 1:03d}",
+                width=cfg.width,
+                height=cfg.height,
+                rotation_axisangle=Rotation.from_matrix(R).as_rotvec(),
+                translation=eye,
+                focal_length=np.array([cfg.focal, cfg.focal * cfg.width / cfg.height]),
+                principal_point=np.array([0.5, 0.5]),
+            )
+        )
+    return cameras
+
+
+def _sphere_center(cfg: SyntheticSceneConfig, frame_idx: int) -> np.ndarray:
+    t = frame_idx / max(cfg.num_frames - 1, 1)
+    return (1 - t) * np.asarray(cfg.center_start) + t * np.asarray(cfg.center_end)
+
+
+def _render_sphere(
+    camera: CameraData, center: np.ndarray, radius: float, frame_phase: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytically ray-trace a diffuse sphere. Returns (rgb [H,W,3] in [0,1], mask [H,W])."""
+    H, W = camera.height, camera.width
+    inv_kr = camera.inverse_kr()
+    xs = np.arange(W) + 0.5
+    ys = np.arange(H) + 0.5
+    px, py = np.meshgrid(xs, ys)
+    pix = np.stack([px, py, np.ones_like(px)], axis=-1)  # (H, W, 3)
+    dirs = pix @ inv_kr.T
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origin = camera.translation
+
+    oc = origin - center
+    b = 2.0 * dirs @ oc
+    c = float(oc @ oc) - radius * radius
+    disc = b * b - 4 * c
+    hit = disc > 0
+    sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
+    t_hit = (-b - sqrt_disc) / 2.0
+    hit &= t_hit > 0
+
+    points = origin + dirs * t_hit[..., None]
+    normals = (points - center) / radius
+    # View-independent color pattern over the surface so different cameras
+    # must agree (important for a meaningful convergence test); pattern rotates
+    # with frame_phase so time matters too.
+    rgb = 0.5 + 0.5 * np.stack(
+        [
+            np.sin(6 * normals[..., 0] + frame_phase),
+            np.sin(6 * normals[..., 1] + 2.0 + frame_phase),
+            np.sin(6 * normals[..., 2] + 4.0),
+        ],
+        axis=-1,
+    )
+    # Gentle lambertian shading from a fixed light.
+    light = np.array([0.5, 0.5, 0.7])
+    light = light / np.linalg.norm(light)
+    shade = np.clip(normals @ light, 0.2, 1.0)
+    rgb = np.clip(rgb * shade[..., None], 0.0, 1.0)
+    rgb = np.where(hit[..., None], rgb, 0.0)
+    return rgb.astype(np.float32), hit.astype(np.uint8)
+
+
+def _occupancy_grid(cfg: SyntheticSceneConfig, center_scaled: np.ndarray, radius_scaled: float) -> np.ndarray:
+    """Occupancy grid over the canonical [-0.5, 0.5] cube: 255 where inside the
+    (slightly dilated) sphere, matching the visual-hull-carved grids the
+    reference's toolbox produces (values {0, 255}, `occupancy_grid_generation.cu:77`)."""
+    res = cfg.grid_resolution
+    coords = (np.arange(res) + 0.5) / res - 0.5
+    gx, gy, gz = np.meshgrid(coords, coords, coords, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1)
+    dist = np.linalg.norm(pts - center_scaled, axis=-1)
+    dilation = 1.5 / res
+    return np.where(dist <= radius_scaled + dilation, 255, 0).astype(np.uint8)
+
+
+def generate_synthetic_dataset(
+    root: Path,
+    cfg: SyntheticSceneConfig | None = None,
+    actor: str = "SynthActor",
+    sequence: str = "Sequence1",
+    scale: int = 1,
+) -> Path:
+    """Writes the dataset under root/<actor>/<sequence>/{<scale>x, aabbs.csv,
+    occupancy_grids, scene.json}. Returns the `<scale>x` data folder."""
+    cfg = cfg or SyntheticSceneConfig()
+    seq_dir = Path(root) / actor / sequence
+    data_dir = seq_dir / f"{scale}x"
+    data_dir.mkdir(parents=True, exist_ok=True)
+    (seq_dir / "occupancy_grids").mkdir(exist_ok=True)
+
+    cameras = make_cameras(cfg)
+    write_calibration_csv(cameras, data_dir / "calibration.csv")
+
+    frame_numbers = list(range(cfg.first_frame, cfg.first_frame + cfg.num_frames))
+
+    # Per-frame AABBs around the moving sphere (world units).
+    aabbs = []
+    for fi, fn in enumerate(frame_numbers):
+        center = _sphere_center(cfg, fi)
+        r = cfg.sphere_radius + cfg.aabb_margin
+        aabbs.append(AabbData(frame_number=fn, aabb=np.stack([center - r, center + r], axis=0)))
+    write_aabbs_csv(aabbs, seq_dir / "aabbs.csv")
+
+    # Scene normalization (same formula as the data loader) to place occupancy
+    # grids in the canonical cube.
+    all_aabbs = np.stack([a.aabb for a in aabbs], axis=0)
+    union = np.stack((all_aabbs[:, 0].min(0), all_aabbs[:, 1].max(0)), axis=0)
+    scene_offset = -union.mean(0)
+    scene_scale = 1.0 / np.max(union[1] - union[0])
+
+    for fi, fn in enumerate(frame_numbers):
+        center = _sphere_center(cfg, fi)
+        frame_phase = 0.5 * fi
+        for cam in cameras:
+            rgb, mask = _render_sphere(cam, center, cfg.sphere_radius, frame_phase)
+            rgb_dir = data_dir / "rgbs" / cam.name
+            mask_dir = data_dir / "masks" / cam.name
+            rgb_dir.mkdir(parents=True, exist_ok=True)
+            mask_dir.mkdir(parents=True, exist_ok=True)
+            bgr = (rgb[..., ::-1] * 255).astype(np.uint8)
+            cv2.imwrite(str(rgb_dir / f"{cam.name}_rgb{fn:06d}.jpg"), bgr, [cv2.IMWRITE_JPEG_QUALITY, 98])
+            cv2.imwrite(str(mask_dir / f"{cam.name}_mask{fn:06d}.png"), mask * 255)
+
+        center_scaled = (center + scene_offset) * scene_scale
+        grid = _occupancy_grid(cfg, center_scaled, cfg.sphere_radius * scene_scale)
+        np.savez_compressed(str(seq_dir / "occupancy_grids" / f"occupancy_grid{fn:06d}.npz"), occupancy_grid=grid)
+
+    # Empty light annotations (schema presence only).
+    with open(data_dir / "light_annotations.csv", "w") as f:
+        f.write("camera,x,y,r\n")
+
+    with open(seq_dir / "scene.json", "w") as f:
+        json.dump({"name": actor, "num_frames": cfg.num_frames, "synthetic": True}, f)
+
+    return data_dir

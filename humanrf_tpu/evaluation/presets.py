@@ -1,0 +1,90 @@
+"""Frozen ActorsHQ camera splits, frame intervals, and render-sequence builders.
+
+The camera index sets and frame intervals are dataset constants reproduced from
+`/root/reference/actorshq/evaluation/presets.py:8-46`; the render-sequence
+builders match `presets.py:49-86` semantics (hero cam every 3rd frame, 13
+landscape test cams rotating every 5th frame for "siggraph_test").
+"""
+import itertools
+from typing import List, Tuple
+
+import numpy as np
+
+# Camera indices are 0-based (dataset camera names are 1-indexed).
+# fmt: off
+camera_configs = {
+    "siggraph_train": (
+        1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 14, 15, 16, 17, 18, 20, 21, 22, 23, 25, 26, 27, 28, 29, 31, 32, 34, 35, 36,
+        37, 38, 39, 40, 41, 42, 45, 46, 47, 48, 49, 51, 52, 53, 54, 55, 56, 58, 59, 60, 61, 62, 65, 66, 67, 68, 69, 71,
+        72, 74, 75, 76, 77, 78, 79, 80, 81, 82, 85, 86, 87, 88, 89, 91, 92, 93, 94, 95, 96, 98, 99, 100, 101, 102, 105,
+        106, 107, 108, 109, 110, 111, 112, 113, 115, 116, 118, 119, 120, 121, 122, 123, 124, 125, 127, 130, 131, 132,
+        133, 134, 135, 138, 139, 140, 141, 142, 143, 148, 149, 150, 151, 156, 157, 158, 159,
+    ),
+    "siggraph_train_validation": (
+        10, 19, 33, 44, 50, 73, 83, 90, 104, 117,
+    ),
+    "siggraph_test": (
+        0, 13, 24, 30, 43, 57, 63, 64, 70, 84, 97, 103, 114,
+        126,  # hero portrait camera
+    ),
+    "siggraph_vmaf": (126,),
+}
+# fmt: on
+
+for _name in ("siggraph_test", "siggraph_train_validation", "siggraph_train", "siggraph_vmaf"):
+    assert len(set(camera_configs[_name])) == len(camera_configs[_name])
+
+# (start inclusive, end exclusive)
+frame_configs = {
+    "siggraph_interval_0": (15, 15 + 20),
+    "siggraph_interval_1": (15, 15 + 50),
+    "siggraph_interval_2": (15, 15 + 100),
+    "siggraph_interval_3": (15, 15 + 250),
+    "siggraph_interval_4": (15, 15 + 500),
+    "siggraph_interval_5": (15, 15 + 1000),
+}
+
+
+def get_spaced_elements(array, count):
+    return [array[i] for i in np.round(np.linspace(0, len(array) - 1, count)).astype(int)]
+
+
+def get_vmaf_test_sequence(frame_numbers: List[int]) -> List[Tuple[int, int]]:
+    assert len(camera_configs["siggraph_vmaf"]) == 1
+    return list(zip(itertools.repeat(camera_configs["siggraph_vmaf"][0]), frame_numbers[::3]))
+
+
+def get_render_sequence(
+    coverage: str,
+    camera_preset: str,
+    frame_numbers: List[int],
+    repeat_cameras: int = 1,
+    repeat_frames: int = 1,
+    camera_configs_override: dict = None,
+) -> List[Tuple[int, int]]:
+    """Build the (camera, frame) evaluation sequence.
+
+    `camera_configs_override` lets synthetic-dataset tests substitute their own
+    camera splits while keeping identical coverage semantics.
+    """
+    configs = camera_configs_override if camera_configs_override is not None else camera_configs
+    camera_numbers = list(itertools.chain.from_iterable(itertools.repeat(configs[camera_preset], repeat_cameras)))
+    frame_numbers = list(itertools.chain.from_iterable(itertools.repeat(frame_numbers, repeat_frames)))
+
+    if coverage == "siggraph_test":
+        assert camera_preset == "siggraph_test"
+        render_sequence_hero = get_vmaf_test_sequence(frame_numbers)
+        landscape_views = [0, 63, 97, 30, 13, 70, 114, 24, 84, 43, 64, 103, 57]
+        render_sequence_landscape = [
+            (landscape_views[i % len(landscape_views)], frame_idx)
+            for i, frame_idx in enumerate(frame_numbers[::5])
+        ]
+        return list(set(render_sequence_hero + render_sequence_landscape))
+
+    if coverage == "exhaustive":
+        return list(itertools.product(camera_numbers, frame_numbers))
+
+    if coverage == "uniform":
+        return list(zip(camera_numbers, get_spaced_elements(frame_numbers, len(camera_numbers))))
+
+    raise NotImplementedError(f"Unknown coverage: {coverage}")
