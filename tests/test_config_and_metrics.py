@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+
+from humanrf_tpu.configs.args import parse_args
+from humanrf_tpu.evaluation.metrics import LpipsModel, compute_psnr, compute_ssim
+
+
+def test_parse_args_nested_flags():
+    args = parse_args(
+        [
+            "--train", "true",
+            "--training.max_steps", "50_001",
+            "--training.camera_preset", "siggraph_train",
+            "--model.log2_hashmap_size", "18",
+            "--dataset.frame_numbers", "1", "2", "3",
+            "--workspace", "/tmp/ws",
+        ]
+    )
+    assert args.train is True
+    assert args.evaluate is False
+    assert args.training.max_steps == 50_001
+    assert args.model.log2_hashmap_size == 18
+    assert args.dataset.frame_numbers == (1, 2, 3)
+    assert str(args.workspace) == "/tmp/ws"
+    # Untouched defaults survive.
+    assert args.model.n_levels == 16
+    assert args.training.lr == 1e-2
+
+
+def test_parse_args_config_module_injection():
+    args = parse_args(["--config", "example_humanrf", "--training.max_steps", "7"])
+    # CLI overrides config-module value (run_args.py:135-138 semantics).
+    assert args.training.max_steps == 7
+    # Config-module values not overridden survive.
+    assert args.model.camera_embedding_dim == 2
+    assert args.dataset.actor == "Actor01"
+    assert len(args.dataset.frame_numbers) == 50
+
+
+def test_psnr_basic():
+    gt = np.zeros((4, 4, 3), np.float32)
+    pred = np.full((4, 4, 3), 0.1, np.float32)
+    got = compute_psnr(pred, gt)
+    assert abs(got - 20.0) < 1e-5  # mse = 0.01 → 20 dB
+
+    mask = np.zeros((4, 4, 1), np.uint8)
+    mask[0, 0] = 1
+    pred2 = gt.copy()
+    pred2[0, 0] = 0.1
+    got_masked = compute_psnr(pred2, gt, mask=mask)
+    assert abs(got_masked - 20.0) < 1e-5  # only the masked pixel counts
+
+
+def test_ssim_identical_and_scaled(rng):
+    img = rng.uniform(0, 1, size=(32, 32, 3)).astype(np.float64)
+    assert compute_ssim(img, img) == pytest.approx(1.0)
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1)
+    s = compute_ssim(img, noisy)
+    assert 0.0 < s < 1.0
+
+
+def test_ssim_matches_reference_formula():
+    """Cross-check against a literal (slow) implementation of the formula."""
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 1, (20, 20, 1))
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+
+    got = compute_ssim(a, b)
+
+    # Naive sliding-window version.
+    win = 7
+    pad = win // 2
+    C1, C2 = 0.01**2, 0.03**2
+    vals = []
+    x, y = a[..., 0], b[..., 0]
+    for i in range(pad, 20 - pad):
+        for j in range(pad, 20 - pad):
+            wx = x[i - pad : i + pad + 1, j - pad : j + pad + 1].ravel()
+            wy = y[i - pad : i + pad + 1, j - pad : j + pad + 1].ravel()
+            ux, uy = wx.mean(), wy.mean()
+            vx, vy = wx.var(ddof=1), wy.var(ddof=1)
+            vxy = np.cov(wx, wy, ddof=1)[0, 1]
+            vals.append(((2 * ux * uy + C1) * (2 * vxy + C2)) / ((ux**2 + uy**2 + C1) * (vx + vy + C2)))
+    assert got == pytest.approx(np.mean(vals), abs=1e-10)
+
+
+def test_lpips_fallback_properties(rng):
+    model = LpipsModel.load_or_init()
+    img = rng.uniform(0, 1, (40, 40, 3)).astype(np.float32)
+    assert model(img, img) == pytest.approx(0.0, abs=1e-6)
+    other = rng.uniform(0, 1, (40, 40, 3)).astype(np.float32)
+    d1 = model(img, other)
+    assert d1 > 0
+    # Symmetric.
+    assert model(other, img) == pytest.approx(d1, rel=1e-4)
