@@ -135,11 +135,13 @@ def _render_sphere(
 def _occupancy_grid(cfg: SyntheticSceneConfig, center_scaled: np.ndarray, radius_scaled: float) -> np.ndarray:
     """Occupancy grid over the canonical [-0.5, 0.5] cube: 255 where inside the
     (slightly dilated) sphere, matching the visual-hull-carved grids the
-    reference's toolbox produces (values {0, 255}, `occupancy_grid_generation.cu:77`)."""
+    reference's toolbox produces: values {0, 255}, stored [z][y][x] with
+    corner-aligned voxel coords i/(res-1) − 0.5
+    (`occupancy_grid_generation.cu:37,81`)."""
     res = cfg.grid_resolution
-    coords = (np.arange(res) + 0.5) / res - 0.5
-    gx, gy, gz = np.meshgrid(coords, coords, coords, indexing="ij")
-    pts = np.stack([gx, gy, gz], axis=-1)
+    coords = np.arange(res) / (res - 1) - 0.5
+    gz, gy, gx = np.meshgrid(coords, coords, coords, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1)  # [z][y][x] array of (x,y,z) points
     dist = np.linalg.norm(pts - center_scaled, axis=-1)
     dilation = 1.5 / res
     return np.where(dist <= radius_scaled + dilation, 255, 0).astype(np.uint8)

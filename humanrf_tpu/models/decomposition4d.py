@@ -4,10 +4,10 @@ Re-implements the reference's `Decomposition4D`
 (`/root/reference/humanrf/scene_representation/decomposition4d.py:42-135`) and its
 fused CUDA tensor-composition op
 (`/root/reference/humanrf/scene_representation/native/tensor_composition.cu:9-118`)
-as pure jnp. The composition is a handful of gathers, lerps and multiplies
-that XLA fuses on its own — the CUDA kernel existed only to fuse what the
-torch eager executor would not (SURVEY.md §2.4 item 4). Backward (including
-the scatter-add into the 1D vectors) comes from XLA autodiff.
+as pure jnp in the **lane-major** sample layout (see models/hash_encoding.py):
+every per-sample intermediate is shaped (Nc, 128) so nothing pads on TPU tiles.
+XLA fuses the gathers/lerps/multiplies that the CUDA kernel fused by hand;
+backward (including the scatter-add into the 1D vectors) comes from autodiff.
 
 Math (matching tensor_composition.cu:49-52): with four 3D hash grids over the
 projections (xyz, xyt, yzt, xzt) of the 4D point and four dense 1D vectors
@@ -24,7 +24,13 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from humanrf_tpu.models.hash_encoding import HashGridConfig, hash_encode, init_hash_table
+from humanrf_tpu.models.hash_encoding import (
+    LANES,
+    HashGridConfig,
+    hash_encode_lanes,
+    init_hash_table,
+    to_lanes,
+)
 
 
 @dataclass(frozen=True)
@@ -44,45 +50,60 @@ def init_decomposition4d(rng: jax.Array, cfg: Decomposition4DConfig) -> Dict[str
         "xyt": init_hash_table(keys[1], cfg.grid),
         "yzt": init_hash_table(keys[2], cfg.grid),
         "xzt": init_hash_table(keys[3], cfg.grid),
-        # (4, R, L*F) fp32, randn * 0.1 as the reference (decomposition4d.py:76-78).
+        # (4, D, R) fp32 — feature channels contiguous per axis for lane-major
+        # gathers; randn * 0.1 init as the reference (decomposition4d.py:76-78).
         "vectors": 0.1
         * jax.random.normal(
-            keys[4], (4, cfg.vectors_finest_resolution, cfg.feature_dim), dtype=jnp.float32
+            keys[4], (4, cfg.feature_dim, cfg.vectors_finest_resolution), dtype=jnp.float32
         ),
     }
 
 
-def sample_vectors(vectors: jax.Array, xyzt: jax.Array) -> jax.Array:
-    """Linearly sample the four 1D vectors at the 4 coordinates.
+def sample_vectors_lanes(vectors: jax.Array, coords_lanes):
+    """Linearly sample the 1D vectors at each of the 4 coordinates.
 
-    vectors: (4, R, D); xyzt: (N, 4) in [0, 1] → (N, 4, D).
+    vectors: (4, D, R); coords_lanes: tuple of 4 arrays (Nc, 128) in [0, 1].
+    Returns v[a][d] as a (4, D, Nc, 128) array.
     align_corners=True semantics matching tensor_composition.cu:33-46:
     coord = c*R - 0.5; corners clamped to [0, R-1].
     """
-    resolution = vectors.shape[1]
-    coord = xyzt * resolution - 0.5  # (N, 4)
-    coord_floor = jnp.floor(coord)
-    frac = coord - coord_floor
-    i0 = jnp.clip(coord_floor, 0, resolution - 1).astype(jnp.int32)
-    i1 = jnp.clip(coord_floor + 1, 0, resolution - 1).astype(jnp.int32)
-
-    # Per-axis gather: vectors[a, i{0,1}[:, a]] → (N, D).
-    v0 = jnp.stack([jnp.take(vectors[a], i0[:, a], axis=0) for a in range(4)], axis=1)
-    v1 = jnp.stack([jnp.take(vectors[a], i1[:, a], axis=0) for a in range(4)], axis=1)
-    return v0 + frac[..., None] * (v1 - v0)  # (N, 4, D)
+    resolution = vectors.shape[-1]
+    per_axis = []
+    for a in range(4):
+        coord = coords_lanes[a] * resolution - 0.5
+        coord_floor = jnp.floor(coord)
+        frac = coord - coord_floor  # (Nc, 128)
+        i0 = jnp.clip(coord_floor, 0, resolution - 1).astype(jnp.int32)
+        i1 = jnp.clip(coord_floor + 1, 0, resolution - 1).astype(jnp.int32)
+        v0 = jnp.take(vectors[a], i0, axis=1)  # (D, Nc, 128)
+        v1 = jnp.take(vectors[a], i1, axis=1)
+        per_axis.append(v0 + frac[None] * (v1 - v0))
+    return jnp.stack(per_axis, axis=0)  # (4, D, Nc, 128)
 
 
 def apply_decomposition4d(
     params: Dict[str, jax.Array], xyz: jax.Array, times: jax.Array, cfg: Decomposition4DConfig
 ) -> jax.Array:
-    """xyz: (N, 3) in [0, 1]; times: (N, 1) in [0, 1] → features (N, L*F)."""
-    xyzt = jnp.concatenate([xyz, times], axis=-1)  # (N, 4)
+    """xyz: (N, 3) in [0, 1]; times: (N, 1) in [0, 1] → features (N, L*F).
 
-    f_xyz = hash_encode(params["xyz"], xyz, cfg.grid)
-    f_xyt = hash_encode(params["xyt"], xyzt[:, jnp.array([0, 1, 3])], cfg.grid)
-    f_yzt = hash_encode(params["yzt"], xyzt[:, jnp.array([1, 2, 3])], cfg.grid)
-    f_xzt = hash_encode(params["xzt"], xyzt[:, jnp.array([0, 2, 3])], cfg.grid)
+    N must be a multiple of 128 (the pipeline's static budgets are).
+    """
+    n = xyz.shape[0]
+    x = to_lanes(xyz[:, 0])
+    y = to_lanes(xyz[:, 1])
+    z = to_lanes(xyz[:, 2])
+    t = to_lanes(times[:, 0])
 
-    v = sample_vectors(params["vectors"], xyzt)  # (N, 4, D)
+    f_xyz = hash_encode_lanes(params["xyz"], (x, y, z), cfg.grid)  # list of D × (Nc, 128)
+    f_xyt = hash_encode_lanes(params["xyt"], (x, y, t), cfg.grid)
+    f_yzt = hash_encode_lanes(params["yzt"], (y, z, t), cfg.grid)
+    f_xzt = hash_encode_lanes(params["xzt"], (x, z, t), cfg.grid)
+
+    v = sample_vectors_lanes(params["vectors"], (x, y, z, t))  # (4, D, Nc, 128)
+
     # Pairing from tensor_composition.cu:49-52.
-    return f_xyz * v[:, 3] + f_xyt * v[:, 2] + f_yzt * v[:, 0] + f_xzt * v[:, 1]
+    out = []
+    for d in range(cfg.feature_dim):
+        out.append(f_xyz[d] * v[3, d] + f_xyt[d] * v[2, d] + f_yzt[d] * v[0, d] + f_xzt[d] * v[1, d])
+    # (D, Nc, 128) → (N, D) once, for the MXU matmuls downstream.
+    return jnp.stack(out, axis=0).reshape(cfg.feature_dim, n).T

@@ -9,15 +9,19 @@ either densely (small levels) or through the spatial hash
 ``x*1 ^ y*2654435761 ^ z*805459861 mod T`` and trilinearly blended.
 
 TPU-first design decisions (vs. the CUDA original):
-- One fp32 table of shape ``(L, T, F)`` (every level padded to the full
-  hashmap size). This costs ~20% extra HBM over tcnn's tightly-packed layout
-  but makes the lookup a single batched gather per level with static shapes.
-- The per-level loop is unrolled into the XLA graph (L is small, 16); each
-  level is one gather of ``(N, 8)`` indices — indices never materialize as a
-  giant ``(N, L, 8)`` tensor in HBM.
-- Backward is XLA's native scatter-add through the gather (the tcnn custom
-  backward kernel has no TPU analog needed; revisit with a Pallas
-  sorted-segment-sum if profiling shows scatter dominating).
+
+- **Lane-major sample layout.** TPU memory tiles are (8 sublanes × 128 lanes)
+  on the two minor dims; an ``(N, 8)`` or ``(N, 2)`` array pads its minor dim
+  to 128 (16–64× memory expansion — measured OOM on a 16GB chip). All
+  per-sample intermediates here are therefore shaped ``(..., N/128, 128)``:
+  samples on the lane axis, corners/features on major axes. Zero padding.
+- **Per-channel tables.** The table is stored ``(L, F, T)`` so each feature
+  channel is a contiguous ``(T,)`` row; a corner lookup is ONE batched gather
+  with an ``(8, N/128, 128)`` index array per (level, channel).
+- The per-level loop is unrolled into the XLA graph (L is small, 16).
+- Backward is XLA's native scatter-add through the gathers; the feature path
+  is rematerialized by the model (see humanrf.py) so gather indices/weights
+  are never stored for backward.
 """
 from __future__ import annotations
 
@@ -27,7 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_HASH_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+_HASH_PRIMES = (np.uint32(1), np.uint32(2654435761), np.uint32(805459861))
+
+LANES = 128
 
 
 @dataclass(frozen=True)
@@ -62,66 +68,106 @@ class HashGridConfig:
 
 
 def init_hash_table(rng: jax.Array, cfg: HashGridConfig, dtype=jnp.float32) -> jax.Array:
-    """Uniform [-1e-4, 1e-4] init (tcnn's HashGrid default)."""
-    shape = (cfg.n_levels, cfg.table_size, cfg.n_features_per_level)
+    """(L, F, T), uniform [-1e-4, 1e-4] init (tcnn's HashGrid default)."""
+    shape = (cfg.n_levels, cfg.n_features_per_level, cfg.table_size)
     return jax.random.uniform(rng, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
 
 
-# The 8 corner offsets of a voxel, shaped for broadcasting: (8, 3).
-_CORNERS = np.array(
-    [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], dtype=np.int32
-)
+# Corner bit patterns, shaped (8, 1, 1) for broadcasting against (Nc, 128).
+_CORNER_BITS = [
+    tuple(((c >> d) & 1) for d in range(3)) for c in range(8)
+]
 
 
-def _level_indices(pos_grid: jax.Array, resolution: int, table_size: int) -> jax.Array:
-    """Corner indices for one level. pos_grid: (N, 8, 3) int32 voxel coords.
+def _level_corner_indices(base, frac_unused, resolution: int, table_size: int):
+    """base: tuple of 3 int32 arrays shaped (Nc, 128) — voxel coords.
 
-    Dense indexing when the level's grid fits in the table, spatial hash
-    otherwise — decided statically per level.
+    Returns idx (8, Nc, 128) int32 — one slab per corner. Dense indexing when
+    the level's grid fits in the table, spatial hash otherwise (static
+    per-level decision).
     """
-    if resolution**3 <= table_size:
-        stride = np.array([1, resolution, resolution * resolution], dtype=np.int32)
-        idx = (pos_grid * stride).sum(-1)
-    else:
-        h = pos_grid.astype(jnp.uint32)
-        idx = (h[..., 0] * _HASH_PRIMES[0]) ^ (h[..., 1] * _HASH_PRIMES[1]) ^ (h[..., 2] * _HASH_PRIMES[2])
-        idx = (idx % np.uint32(table_size)).astype(jnp.int32)
-    return idx
+    slabs = []
+    dense = resolution**3 <= table_size
+    for bits in _CORNER_BITS:
+        cx = base[0] + bits[0]
+        cy = base[1] + bits[1]
+        cz = base[2] + bits[2]
+        if dense:
+            idx = cx + cy * resolution + cz * (resolution * resolution)
+        else:
+            h = (
+                (cx.astype(jnp.uint32) * _HASH_PRIMES[0])
+                ^ (cy.astype(jnp.uint32) * _HASH_PRIMES[1])
+                ^ (cz.astype(jnp.uint32) * _HASH_PRIMES[2])
+            )
+            idx = (h % np.uint32(table_size)).astype(jnp.int32)
+        slabs.append(idx)
+    return jnp.stack(slabs, axis=0)
+
+
+def _corner_weights(frac):
+    """frac: tuple of 3 (Nc, 128) arrays → weights (8, Nc, 128)."""
+    slabs = []
+    for bits in _CORNER_BITS:
+        w = jnp.ones_like(frac[0])
+        for d in range(3):
+            w = w * (frac[d] if bits[d] else (1.0 - frac[d]))
+        slabs.append(w)
+    return jnp.stack(slabs, axis=0)
+
+
+def hash_encode_lanes(table: jax.Array, positions_lanes, cfg: HashGridConfig):
+    """Lane-major core. positions_lanes: tuple of 3 arrays (Nc, 128) in [0,1].
+
+    Returns features as a list of (Nc, 128) arrays, level-major then
+    channel-major — i.e. out[l * F + f] matches tcnn's output column l*F+f.
+    """
+    scales = cfg.level_scales()
+    resolutions = cfg.level_resolutions()
+    x, y, z = (jnp.clip(p, 0.0, 1.0) for p in positions_lanes)
+
+    outs = []
+    for level in range(cfg.n_levels):
+        scaled = tuple(p * scales[level] + 0.5 for p in (x, y, z))
+        floor = tuple(jnp.floor(s) for s in scaled)
+        frac = tuple(s - f for s, f in zip(scaled, floor))
+        base = tuple(f.astype(jnp.int32) for f in floor)
+
+        idx = _level_corner_indices(base, frac, int(resolutions[level]), cfg.table_size)  # (8, Nc, 128)
+        w = _corner_weights(frac)  # (8, Nc, 128)
+
+        for f in range(cfg.n_features_per_level):
+            g = jnp.take(table[level, f], idx, axis=0)  # (8, Nc, 128)
+            outs.append((g * w).sum(axis=0))  # (Nc, 128)
+    return outs
+
+
+def to_lanes(v: jax.Array):
+    """(N,) → (N/LANES, LANES). N must be a multiple of LANES."""
+    n = v.shape[0]
+    assert n % LANES == 0, f"sample count {n} must be a multiple of {LANES}"
+    return v.reshape(n // LANES, LANES)
 
 
 def hash_encode(table: jax.Array, positions: jax.Array, cfg: HashGridConfig) -> jax.Array:
     """positions: (N, 3) in [0, 1] → features (N, L*F), level-major like tcnn.
 
-    Out-of-range positions are clamped (tcnn clamps via its grid sampling; the
-    callers guarantee [0,1] anyway since the scene is normalized).
+    Thin wrapper over the lane-major core for API/testing convenience; the
+    model's hot path (decomposition4d) stays lane-major end to end.
     """
     n = positions.shape[0]
-    positions = jnp.clip(positions, 0.0, 1.0)
-    scales = cfg.level_scales()
-    resolutions = cfg.level_resolutions()
-
-    outs = []
-    for level in range(cfg.n_levels):
-        pos = positions * scales[level] + 0.5  # (N, 3)
-        pos_floor = jnp.floor(pos)
-        frac = pos - pos_floor  # (N, 3)
-        base = pos_floor.astype(jnp.int32)  # (N, 3)
-
-        corner_coords = base[:, None, :] + _CORNERS[None, :, :]  # (N, 8, 3)
-        idx = _level_indices(corner_coords, int(resolutions[level]), cfg.table_size)  # (N, 8)
-
-        # Trilinear weights: prod over dims of (frac if corner bit else 1-frac).
-        w = jnp.where(_CORNERS[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
-        weights = w.prod(-1)  # (N, 8)
-
-        feats = jnp.take(table[level], idx, axis=0)  # (N, 8, F)
-        outs.append((feats * weights[..., None]).sum(1))  # (N, F)
-
-    return jnp.concatenate(outs, axis=-1).reshape(n, cfg.feature_dim)
+    pad = (-n) % LANES
+    if pad:
+        positions = jnp.concatenate([positions, jnp.zeros((pad, 3), positions.dtype)], axis=0)
+    lanes = tuple(to_lanes(positions[:, d]) for d in range(3))
+    outs = hash_encode_lanes(table, lanes, cfg)
+    feats = jnp.stack(outs, axis=-1).reshape(n + pad, cfg.feature_dim)
+    return feats[:n]
 
 
 def hash_encode_reference(table: np.ndarray, positions: np.ndarray, cfg: HashGridConfig) -> np.ndarray:
-    """Pure-numpy oracle used by the unit tests (slow, loopy on purpose)."""
+    """Pure-numpy oracle used by the unit tests (slow, loopy on purpose).
+    table: (L, F, T)."""
     positions = np.clip(positions, 0.0, 1.0)
     scales = cfg.level_scales()
     resolutions = cfg.level_resolutions()
@@ -147,6 +193,6 @@ def hash_encode_reference(table: np.ndarray, positions: np.ndarray, cfg: HashGri
                     h2 = (int(coord[2]) * 805459861) & m
                     idx = (h0 ^ h1 ^ h2) % cfg.table_size
                 w = np.prod(np.where(offs > 0, frac, 1.0 - frac))
-                acc += w * np.asarray(table[level, idx], dtype=np.float64)
+                acc += w * np.asarray(table[level, :, idx], dtype=np.float64)
             out[i, level * cfg.n_features_per_level : (level + 1) * cfg.n_features_per_level] = acc
     return out

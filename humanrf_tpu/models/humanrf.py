@@ -172,13 +172,23 @@ class HumanRFModel:
         Evaluates every segment's grid on its masked subset via where-masking
         (static-shape analog of humanrf.py:169-177). For num_segments == 1 this
         collapses to a single unmasked evaluation.
+
+        The per-segment grid evaluation is wrapped in `jax.checkpoint`: storing
+        the per-level gather indices + trilinear weights for backward costs
+        ~40MB × levels × 4 grids per 640k samples (OOMs a 16GB chip); remat
+        recomputes them from positions instead — the TPU analog of the fused
+        recompute inside tcnn's backward kernels.
         """
         frame_numbers = frame_numbers.astype(jnp.int32)
         xyz01 = positions + 0.5
         times = jnp.take(self.frame_to_local_time, frame_numbers)[:, None]
 
+        def seg_apply(s):
+            cfg_s = self.segment_grid_configs[s]
+            return jax.checkpoint(lambda prm, x, t: apply_decomposition4d(prm, x, t, cfg_s))
+
         if self.config.num_segments == 1:
-            return apply_decomposition4d(params["segments"][0], xyz01, times, self.segment_grid_configs[0])
+            return seg_apply(0)(params["segments"][0], xyz01, times)
 
         segment_ids = jnp.take(self.frame_to_segment, frame_numbers)
         feats = jnp.zeros((positions.shape[0], self.config.total_feature_dim), dtype=jnp.float32)
@@ -186,11 +196,10 @@ class HumanRFModel:
             mask = (segment_ids == s)[:, None]
             # Zero out inputs of other segments' samples so their gathers hit a
             # single (cached) table line rather than random HBM locations.
-            seg_feats = apply_decomposition4d(
+            seg_feats = seg_apply(s)(
                 params["segments"][s],
                 jnp.where(mask, xyz01, 0.0),
                 jnp.where(mask, times, 0.0),
-                self.segment_grid_configs[s],
             )
             feats = feats + jnp.where(mask, seg_feats, 0.0)
         return feats

@@ -22,6 +22,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def coarsen_grid(grid: jax.Array, factor: int) -> jax.Array:
+    """Conservative downsample of (..., res, res, res) bool grids by
+    max-pooling: a coarse voxel is occupied iff any covered fine voxel is.
+    Used to cheapen the tmin/tmax march (the per-sample filter still uses the
+    fine grid); conservative → never skips occupied space."""
+    if factor == 1:
+        return grid
+    res = grid.shape[-1]
+    assert res % factor == 0
+    lead = grid.shape[:-3]
+    r = res // factor
+    g = grid.reshape(*lead, r, factor, r, factor, r, factor)
+    return g.any(axis=(-5, -3, -1))
+
+
 def dilate_grid(grid: jax.Array) -> jax.Array:
     """(res, res, res) uint8 {0, 255} → corner-dilated bool grid.
 
@@ -42,16 +57,20 @@ def dilate_grid(grid: jax.Array) -> jax.Array:
 def sample_occupancy(grids: jax.Array, grid_ids: jax.Array, points: jax.Array) -> jax.Array:
     """Nearest-neighbor lookup of corner-dilated grids.
 
-    grids: (G, res, res, res) bool — pool of dilated occupancy grids.
+    grids: (G, res, res, res) bool — pool of dilated occupancy grids, stored
+    [z][y][x] like the reference's CUDA-texture upload (the innermost array
+    dim is the world x axis; `occupancy_grid_generation.cu:81`,
+    `occupancy_grid.cu:64-71`).
     grid_ids: (...,) int32 — grid slot per point.
-    points: (..., 3) in [0, 1] (the canonical cube shifted by +0.5).
+    points: (..., 3) = (x, y, z) in [0, 1] (the canonical cube shifted by +0.5).
     Returns bool occupancy per point. Clamp addressing like the CUDA texture
     (occupancy_grid.cu:30-32).
     """
     res = grids.shape[-1]
     ijk = jnp.clip(jnp.floor(points * res - 0.5), 0, res - 1).astype(jnp.int32)
     flat_grids = grids.reshape(grids.shape[0], -1)
-    flat_idx = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+    # [z][y][x] storage: flat = (z*res + y)*res + x.
+    flat_idx = (ijk[..., 2] * res + ijk[..., 1]) * res + ijk[..., 0]
     # Single combined gather over (G * res^3).
     return jnp.take(flat_grids.reshape(-1), grid_ids * (res * res * res) + flat_idx)
 

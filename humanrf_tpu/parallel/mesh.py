@@ -1,0 +1,110 @@
+"""Data-parallel training over a device mesh (ICI collectives).
+
+The reference is strictly single-GPU (SURVEY.md §2.5: no torch.distributed /
+NCCL anywhere); multi-chip data parallelism is a *new first-class component*
+of the TPU build, done the XLA way: a 1-D `Mesh(('data',))`, rays (and
+therefore samples) sharded on the batch axis, parameters replicated, gradient
+`psum` over ICI inserted by the compiler inside `shard_map`.
+
+Each device independently compacts its own R/D rays into S/D sample slots —
+budgets are per-shard, so no cross-device communication happens anywhere in
+the sampling/rendering path; the ONLY collectives are the loss-normalization
+psums and the gradient psum.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from humanrf_tpu.models.humanrf import HumanRFModel
+from humanrf_tpu.train.pipeline import (
+    HostBatch,
+    PipelineConfig,
+    PoolArrays,
+    build_rays,
+    build_samples,
+    training_loss,
+)
+
+AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_pipeline_config(cfg: PipelineConfig, num_devices: int) -> PipelineConfig:
+    """Per-shard shapes. Ray count and budgets must divide evenly."""
+    assert cfg.num_rays % num_devices == 0, (cfg.num_rays, num_devices)
+    assert cfg.candidate_budget % num_devices == 0
+    assert cfg.sample_budget % num_devices == 0
+    return dataclasses.replace(
+        cfg,
+        num_rays=cfg.num_rays // num_devices,
+        candidate_budget=cfg.candidate_budget // num_devices,
+        sample_budget=cfg.sample_budget // num_devices,
+    )
+
+
+def make_sharded_train_step(
+    cfg: PipelineConfig,
+    model: HumanRFModel,
+    optimizer,
+    width: int,
+    height: int,
+    mesh: Mesh,
+):
+    """Returns train_step(params, opt_state, batch, pool, grids, aabb, rng)
+    where `batch` leaves are sharded over rays and everything else replicated."""
+    num_devices = mesh.devices.size
+    shard_cfg = shard_pipeline_config(cfg, num_devices)
+
+    def per_shard(params, opt_state, batch: HostBatch, pool: PoolArrays, grids, aabb, rng):
+        # Distinct per-shard RNG for jitter/background noise.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
+
+        rays = build_rays(shard_cfg, batch, pool, grids, aabb, width, height)
+        samples = build_samples(shard_cfg, rays, pool, grids, batch.buffer_idx)
+
+        def loss_fn(p):
+            return training_loss(
+                shard_cfg, model, p, rays, samples, batch.rgba, rng, axis_name=AXIS
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # Loss num/den were already psum-normalized inside; gradients carry
+        # each shard's local contribution → sum over the mesh.
+        grads = jax.lax.psum(grads, AXIS)
+        aux = {
+            "photometric": aux["photometric"],
+            "mse": aux["mse"],
+            "mask_loss": aux.get("mask_loss", jnp.zeros(())),
+            "num_samples": jax.lax.psum(aux["num_samples"], AXIS),
+            "num_rays_supervised": jax.lax.psum(aux["num_rays_supervised"], AXIS),
+        }
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss, aux
+
+    batch_specs = HostBatch(
+        buffer_idx=P(AXIS), pixel_idx=P(AXIS), rgba=P(AXIS), ray_light_ok=P(AXIS)
+    )
+    pool_specs = PoolArrays(*([P()] * len(PoolArrays._fields)))
+
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_specs, pool_specs, P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))

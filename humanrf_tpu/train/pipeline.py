@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from humanrf_tpu.models.humanrf import HumanRFModel
-from humanrf_tpu.ops.occupancy import occupancy_ray_minmax
+from humanrf_tpu.ops.occupancy import coarsen_grid, occupancy_ray_minmax
 from humanrf_tpu.ops.rays import aabb_intersect, pixel_to_ray
 from humanrf_tpu.ops.render import RenderOutput, prune_samples, render
 from humanrf_tpu.ops.sampling import SampleSet, generate_samples
@@ -50,6 +50,11 @@ class PipelineConfig:
     use_visibility_prune: bool = True
     bce_loss_weight: Optional[float] = 1e-3
     huber_delta: float = 0.01
+    # tmin/tmax march on a conservatively max-pooled grid (factor× coarser).
+    # Gathers on TPU cost per element, so marching a 64³ grid instead of 128³
+    # halves the march cost; the per-sample occupancy filter stays full-res,
+    # so results only gain a few extra (filtered) candidates.
+    march_grid_factor: int = 2
 
 
 class PoolArrays(NamedTuple):
@@ -105,7 +110,8 @@ def build_rays(
 
     grid_ids = jnp.take(pool.grid_slots, image_number)
     if cfg.space_pruning == "occupancy":
-        tmin, tmax = occupancy_ray_minmax(origins, dirs, tmin, tmax, grids, grid_ids)
+        march_grids = coarsen_grid(grids, cfg.march_grid_factor)
+        tmin, tmax = occupancy_ray_minmax(origins, dirs, tmin, tmax, march_grids, grid_ids)
 
     valid = (tmin < tmax) & batch.ray_light_ok
     return RayData(
@@ -153,6 +159,12 @@ def prune_and_render(
     is_training: bool,
 ):
     """prune_samples + render (volume_rendering.py:42-150) on the flat buffers."""
+    if is_training and rng is not None and not cfg.use_visibility_prune:
+        # The reference jitters sample distances inside prune_samples
+        # (volume_rendering.py:63-64); keep the jitter when pruning is off.
+        samples = samples._replace(
+            t=samples.t + jax.random.uniform(rng, samples.t.shape) * cfg.render_step_size
+        )
     if cfg.use_visibility_prune:
         density_fn = lambda p, f: model.density(params, p, f)[0]
         samples = prune_samples(
@@ -190,6 +202,7 @@ def training_loss(
     samples: SampleSet,
     rgba: jax.Array,
     rng: jax.Array,
+    axis_name: str | None = None,
 ):
     """Random-background compositing + Huber + BCE (trainer.py:229-248)."""
     rng_bg, rng_jitter = jax.random.split(rng)
@@ -203,15 +216,15 @@ def training_loss(
     )
 
     loss_mask = rays.valid & pruned.ray_included
-    photometric = masked_mean(huber_loss(out.color, gt_rgb, cfg.huber_delta), loss_mask)
+    photometric = masked_mean(huber_loss(out.color, gt_rgb, cfg.huber_delta), loss_mask, axis_name)
     total = photometric
     aux = {"photometric": photometric}
     if cfg.bce_loss_weight is not None:
-        mask_l = masked_mean(bce_loss(out.weights_sum, gt_mask), loss_mask) * cfg.bce_loss_weight
+        mask_l = masked_mean(bce_loss(out.weights_sum, gt_mask), loss_mask, axis_name) * cfg.bce_loss_weight
         total = total + mask_l
         aux["mask_loss"] = mask_l
 
-    mse = masked_mean((out.color - gt_rgb) ** 2, loss_mask)
+    mse = masked_mean((out.color - gt_rgb) ** 2, loss_mask, axis_name)
     aux["mse"] = mse
     aux["num_samples"] = pruned.num_valid
     aux["num_rays_supervised"] = loss_mask.sum()

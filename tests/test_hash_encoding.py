@@ -14,7 +14,7 @@ def test_matches_numpy_oracle(rng):
     cfg = HashGridConfig(
         n_levels=4, n_features_per_level=2, log2_hashmap_size=10, base_resolution=4, finest_resolution=64
     )
-    table = rng.standard_normal((cfg.n_levels, cfg.table_size, cfg.n_features_per_level)).astype(np.float32)
+    table = rng.standard_normal((cfg.n_levels, cfg.n_features_per_level, cfg.table_size)).astype(np.float32)
     positions = rng.uniform(0, 1, size=(32, 3)).astype(np.float32)
 
     got = np.asarray(hash_encode(jnp.asarray(table), jnp.asarray(positions), cfg))
@@ -24,7 +24,7 @@ def test_matches_numpy_oracle(rng):
 
 def test_output_shape_and_level_order(rng):
     cfg = HashGridConfig(n_levels=3, n_features_per_level=2, log2_hashmap_size=8, base_resolution=2, finest_resolution=8)
-    table = np.zeros((3, cfg.table_size, 2), dtype=np.float32)
+    table = np.zeros((3, 2, cfg.table_size), dtype=np.float32)
     table[1] = 7.0  # constant level-1 features
     positions = rng.uniform(0, 1, size=(5, 3)).astype(np.float32)
     out = np.asarray(hash_encode(jnp.asarray(table), jnp.asarray(positions), cfg))
@@ -52,7 +52,7 @@ def test_dense_vs_hash_level_selection():
     # base resolution 4 → res 5 → 125 entries fits in 2^8=256 (dense);
     # finest 64 → res 65 → 274625 does not (hashed). Both paths must index in range.
     cfg = HashGridConfig(n_levels=2, n_features_per_level=1, log2_hashmap_size=8, base_resolution=4, finest_resolution=64)
-    table = jnp.ones((2, cfg.table_size, 1))
+    table = jnp.ones((2, 1, cfg.table_size))
     positions = jnp.array([[0.999, 0.999, 0.999], [0.0, 0.0, 0.0]])
     out = hash_encode(table, positions, cfg)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)

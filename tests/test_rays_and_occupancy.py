@@ -74,8 +74,9 @@ def test_dilate_grid_matches_trilinear_positive():
     for p in pts:
         c0 = np.clip(np.floor(p * res - 0.5).astype(int), 0, res - 1)
         c1 = np.clip(c0 + 1, 0, res - 1)
+        # grids are stored [z][y][x] (reference convention)
         want.append(
-            any(grid[i, j, k] > 0 for i in (c0[0], c1[0]) for j in (c0[1], c1[1]) for k in (c0[2], c1[2]))
+            any(grid[k, j, i] > 0 for i in (c0[0], c1[0]) for j in (c0[1], c1[1]) for k in (c0[2], c1[2]))
         )
     got = np.asarray(
         sample_occupancy(jnp.asarray(dil[None]), jnp.zeros((len(pts),), jnp.int32), jnp.asarray(pts))
@@ -88,7 +89,7 @@ def test_occupancy_ray_minmax_finds_slab():
     a +z ray must march to enter/exit near the slab boundaries."""
     res = 32
     grid = np.zeros((res, res, res), dtype=np.uint8)
-    grid[:, :, res // 4 : res // 2] = 255
+    grid[res // 4 : res // 2, :, :] = 255  # z-slab ([z][y][x] storage)
     dil = dilate_grid(jnp.asarray(grid))[None]
 
     origins = jnp.array([[0.0, 0.0, -2.0]])
