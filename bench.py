@@ -34,16 +34,26 @@ def main():
     from humanrf_tpu.train.pipeline import HostBatch, PipelineConfig, PoolArrays, make_train_step
     from humanrf_tpu.train.trainer import make_optimizer
 
+    import os
+
+    # "onehot" (default): the gather-free interpolating-matmul field — the
+    # TPU-native flagship (PERF.md). "gather": exact tcnn-semantics lookups.
+    backend = os.environ.get("BENCH_BACKEND", "onehot")
+    # onehot pairs with small per-level tables (2^12 → 2^11 after the
+    # 50-frame segment scaling); gather keeps the reference's 2^19 → 2^18.
+    log2_hashmap = 12 if backend == "onehot" else 19
+
     num_frames = 50
     model = HumanRFModel(
         HumanRFConfig(
             sorted_frame_numbers=tuple(range(num_frames)),
             segment_sizes=(num_frames,),
-            log2_hashmap_size=19,  # scaled to 2^18 for the 50-frame segment
+            log2_hashmap_size=log2_hashmap,
             n_levels=16,
             coarsest_resolution=32,
             finest_resolution=2048,
             camera_embedding_dim=2,
+            field_backend=backend,
         )
     )
     params = model.init_params(jax.random.PRNGKey(0))
@@ -129,8 +139,6 @@ def main():
     )
 
     # Timed steps.
-    import os
-
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     t0 = time.time()
     for i in range(n_steps):

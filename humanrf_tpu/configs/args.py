@@ -120,6 +120,9 @@ class _tpu_args:
     # Synthetic-dataset camera presets (tests / hermetic runs) instead of the
     # frozen ActorsHQ splits.
     synthetic_presets: bool = False
+    # Scene-field backend: "gather" (exact tcnn lookup semantics) or "onehot"
+    # (gather-free interpolating-matmul; pair with small model.log2_hashmap_size).
+    field_backend: str = "gather"
 
 
 @dataclass

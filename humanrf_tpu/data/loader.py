@@ -427,14 +427,16 @@ class DataLoader:
         width, height = self.resolution
         R = self.batch_size
         if self.mode == M.TRAINING:
+            from humanrf_tpu import native
+
             buffer_idx = self.rng.integers(0, self.buffer_size, size=R).astype(np.int32)
             pixel_idx = self.rng.integers(0, self.num_pixels_per_camera, size=R).astype(np.int32)
             with self.data_lock:
-                rgba = self.pixel_rgba[buffer_idx, pixel_idx].astype(np.float32) / 255.0
-                light_ok = (
-                    self.light_ok[buffer_idx, pixel_idx]
-                    if self.filter_light_bloom
-                    else np.ones(R, dtype=bool)
+                rgba, light_ok = native.gather(
+                    self.pixel_rgba,
+                    self.light_ok if self.filter_light_bloom else None,
+                    buffer_idx,
+                    pixel_idx,
                 )
                 pool = self.pool_arrays()
                 grids = self.device_grids

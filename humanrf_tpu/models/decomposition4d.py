@@ -37,6 +37,13 @@ from humanrf_tpu.models.hash_encoding import (
 class Decomposition4DConfig:
     grid: HashGridConfig = HashGridConfig()
     vectors_finest_resolution: int = 2048
+    # "gather": exact tcnn-semantics lookups (XLA gathers; ~10ns/element on
+    # TPU — see PERF.md). "onehot": gather-free interpolating-matmul backend
+    # (requires small grid.table_size; trades capacity for ~10-20× step time).
+    backend: str = "gather"
+    # Sample-chunk size for the onehot backend ((chunk, T) one-hot rows are
+    # materialized per level; 32768×2048×bf16 = 134MB transient).
+    onehot_chunk: int = 32768
 
     @property
     def feature_dim(self) -> int:
@@ -81,6 +88,61 @@ def sample_vectors_lanes(vectors: jax.Array, coords_lanes):
     return jnp.stack(per_axis, axis=0)  # (4, D, Nc, 128)
 
 
+def sample_vectors_onehot(vectors: jax.Array, coords: jax.Array) -> jax.Array:
+    """Gather-free 1-D vector sampling: linear interpolation as a 2-hot matmul.
+
+    vectors: (4, D, R); coords: (N, 4) in [0, 1] → (N, 4, D).
+    """
+    from humanrf_tpu.models.hash_encoding import interpolating_onehot
+
+    resolution = vectors.shape[-1]
+    out = []
+    for a in range(4):
+        coord = coords[:, a] * resolution - 0.5
+        coord_floor = jnp.floor(coord)
+        frac = coord - coord_floor
+        i0 = jnp.clip(coord_floor, 0, resolution - 1).astype(jnp.int32)
+        i1 = jnp.clip(coord_floor + 1, 0, resolution - 1).astype(jnp.int32)
+        oh = interpolating_onehot([i0, i1], [1.0 - frac, frac], resolution)  # (N, R)
+        out.append(
+            jnp.dot(oh, vectors[a].T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        )  # (N, D)
+    return jnp.stack(out, axis=1)
+
+
+def _apply_decomposition4d_onehot(
+    params: Dict[str, jax.Array], xyz: jax.Array, times: jax.Array, cfg: Decomposition4DConfig
+) -> jax.Array:
+    """Gather-free decomposition: per-chunk one-hot matmul encodings.
+
+    Chunked with lax.map + jax.checkpoint so the (chunk, T) one-hot rows are
+    transient in forward AND recomputed (not stored) for backward.
+    """
+    from humanrf_tpu.models.hash_encoding import hash_encode_onehot
+
+    n = xyz.shape[0]
+    # Largest divisor of n not exceeding the configured chunk size.
+    chunk = min(cfg.onehot_chunk, n)
+    while n % chunk != 0:
+        chunk -= 128 if chunk % 128 == 0 else chunk % 128
+    xyzt = jnp.concatenate([xyz, times], axis=-1)  # (N, 4)
+
+    @jax.checkpoint
+    def one_chunk(pts):
+        f_xyz = hash_encode_onehot(params["xyz"], pts[:, :3], cfg.grid)
+        f_xyt = hash_encode_onehot(params["xyt"], pts[:, jnp.array([0, 1, 3])], cfg.grid)
+        f_yzt = hash_encode_onehot(params["yzt"], pts[:, jnp.array([1, 2, 3])], cfg.grid)
+        f_xzt = hash_encode_onehot(params["xzt"], pts[:, jnp.array([0, 2, 3])], cfg.grid)
+        v = sample_vectors_onehot(params["vectors"], pts)  # (chunk, 4, D)
+        # Pairing from tensor_composition.cu:49-52.
+        return f_xyz * v[:, 3] + f_xyt * v[:, 2] + f_yzt * v[:, 0] + f_xzt * v[:, 1]
+
+    if n == chunk:
+        return one_chunk(xyzt)
+    out = jax.lax.map(one_chunk, xyzt.reshape(n // chunk, chunk, 4))
+    return out.reshape(n, cfg.feature_dim)
+
+
 def apply_decomposition4d(
     params: Dict[str, jax.Array], xyz: jax.Array, times: jax.Array, cfg: Decomposition4DConfig
 ) -> jax.Array:
@@ -88,6 +150,9 @@ def apply_decomposition4d(
 
     N must be a multiple of 128 (the pipeline's static budgets are).
     """
+    if cfg.backend == "onehot":
+        return _apply_decomposition4d_onehot(params, xyz, times, cfg)
+    assert cfg.backend == "gather", cfg.backend
     n = xyz.shape[0]
     x = to_lanes(xyz[:, 0])
     y = to_lanes(xyz[:, 1])

@@ -165,6 +165,88 @@ def hash_encode(table: jax.Array, positions: jax.Array, cfg: HashGridConfig) -> 
     return feats[:n]
 
 
+# --------------------------------------------------------------------------
+# One-hot interpolating-matmul backend (gather-free).
+#
+# Rationale (PERF.md): every random-access mechanism on this TPU stack costs
+# ~10ns per gathered element, which caps the tcnn-style encoding at ~0.05
+# steps/s. For small tables (T ≲ 4096) the lookup can instead be computed on
+# the MXU: build a (N, T) row per sample whose 8 corner entries hold the
+# trilinear weights, then `row @ table` performs lookup AND interpolation in
+# one matmul. The backward w.r.t. the table is `rowsᵀ @ g` — another matmul;
+# sample positions carry no gradient, so no scatter ever happens.
+# --------------------------------------------------------------------------
+
+
+def _level_corner_scalar_indices(base, resolution: int, table_size: int):
+    """base: 3 × (N,) int32 voxel coords → list of 8 (N,) corner indices."""
+    out = []
+    dense = resolution**3 <= table_size
+    for bits in _CORNER_BITS:
+        cx = base[0] + bits[0]
+        cy = base[1] + bits[1]
+        cz = base[2] + bits[2]
+        if dense:
+            idx = cx + cy * resolution + cz * (resolution * resolution)
+        else:
+            h = (
+                (cx.astype(jnp.uint32) * _HASH_PRIMES[0])
+                ^ (cy.astype(jnp.uint32) * _HASH_PRIMES[1])
+                ^ (cz.astype(jnp.uint32) * _HASH_PRIMES[2])
+            )
+            idx = (h % np.uint32(table_size)).astype(jnp.int32)
+        out.append(idx)
+    return out
+
+
+def interpolating_onehot(corner_indices, corner_weights, table_size: int) -> jax.Array:
+    """corner_indices/corner_weights: lists of (N,) arrays → (N, T) bf16 rows.
+
+    row[n, t] = Σ_c  w_c[n] · [idx_c[n] == t]
+    """
+    n = corner_indices[0].shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, table_size), 1)
+    oh = jnp.zeros((n, table_size), dtype=jnp.float32)
+    for idx, w in zip(corner_indices, corner_weights):
+        oh = oh + jnp.where(idx[:, None] == iota, w[:, None], 0.0)
+    return oh.astype(jnp.bfloat16)
+
+
+def hash_encode_onehot(table: jax.Array, positions: jax.Array, cfg: HashGridConfig) -> jax.Array:
+    """Gather-free variant of hash_encode. positions (N, 3) → (N, L*F).
+
+    Requires a small table (cfg.table_size ≲ 4096); the (N, T) one-hot rows are
+    built per level and contracted on the MXU. Callers should wrap the
+    enclosing feature computation in jax.checkpoint so rows are recomputed in
+    backward instead of stored.
+    """
+    positions = jnp.clip(positions, 0.0, 1.0)
+    scales = cfg.level_scales()
+    resolutions = cfg.level_resolutions()
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+
+    outs = []
+    for level in range(cfg.n_levels):
+        scaled = tuple(p * scales[level] + 0.5 for p in (x, y, z))
+        floor = tuple(jnp.floor(s) for s in scaled)
+        frac = tuple(s - f for s, f in zip(scaled, floor))
+        base = tuple(f.astype(jnp.int32) for f in floor)
+
+        idxs = _level_corner_scalar_indices(base, int(resolutions[level]), cfg.table_size)
+        weights = []
+        for bits in _CORNER_BITS:
+            w = jnp.ones_like(frac[0])
+            for d in range(3):
+                w = w * (frac[d] if bits[d] else (1.0 - frac[d]))
+            weights.append(w)
+
+        oh = interpolating_onehot(idxs, weights, cfg.table_size)  # (N, T) bf16
+        # table[level]: (F, T) → contract over T on the MXU.
+        feats = jnp.dot(oh, table[level].T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        outs.append(feats)  # (N, F)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def hash_encode_reference(table: np.ndarray, positions: np.ndarray, cfg: HashGridConfig) -> np.ndarray:
     """Pure-numpy oracle used by the unit tests (slow, loopy on purpose).
     table: (L, F, T)."""

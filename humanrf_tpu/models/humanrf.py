@@ -56,6 +56,10 @@ class HumanRFConfig:
     n_hidden_layers_color: int = 2
     sh_degree: int = 4
     camera_embedding_dim: int = 0
+    # "gather" = exact tcnn-semantics table lookups; "onehot" = gather-free
+    # interpolating-matmul backend (use with small log2_hashmap_size, ≤ 12 —
+    # see PERF.md for why this exists on TPU).
+    field_backend: str = "gather"
 
     @property
     def total_feature_dim(self) -> int:
@@ -109,6 +113,7 @@ class HumanRFModel:
                         finest_resolution=cfg.finest_resolution,
                     ),
                     vectors_finest_resolution=cfg.finest_resolution,
+                    backend=cfg.field_backend,
                 )
             )
 

@@ -129,6 +129,7 @@ def main(argv=None) -> None:
             n_hidden_layers_color=config.model.n_hidden_layers_color,
             sh_degree=config.model.sh_degree,
             camera_embedding_dim=config.model.camera_embedding_dim,
+            field_backend=config.tpu.field_backend,
         )
     )
     pcfg = build_pipeline_config(config)
