@@ -25,7 +25,6 @@ A100_BASELINE_RAYS_PER_SEC = 50_000.0
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
     from scipy.spatial.transform import Rotation
 
     from humanrf_tpu.core.camera import CameraData

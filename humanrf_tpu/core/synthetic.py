@@ -11,7 +11,7 @@ observed by cameras on a circle — written in the exact on-disk schema of
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Tuple
 

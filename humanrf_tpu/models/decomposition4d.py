@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from humanrf_tpu.models.hash_encoding import (
-    LANES,
     HashGridConfig,
     hash_encode_lanes,
     init_hash_table,
@@ -127,12 +126,18 @@ def _apply_decomposition4d_onehot(
         chunk -= 128 if chunk % 128 == 0 else chunk % 128
     xyzt = jnp.concatenate([xyz, times], axis=-1)  # (N, 4)
 
+    # NOTE: hash_encode_onehot_factored was benchmarked here and is SLOWER in
+    # the full training step (3190 vs 4912 rays/s) despite fewer compare ops —
+    # XLA schedules the plain single-matmul form better. Kept available for
+    # future kernel work; see PERF.md.
+    encode = hash_encode_onehot
+
     @jax.checkpoint
     def one_chunk(pts):
-        f_xyz = hash_encode_onehot(params["xyz"], pts[:, :3], cfg.grid)
-        f_xyt = hash_encode_onehot(params["xyt"], pts[:, jnp.array([0, 1, 3])], cfg.grid)
-        f_yzt = hash_encode_onehot(params["yzt"], pts[:, jnp.array([1, 2, 3])], cfg.grid)
-        f_xzt = hash_encode_onehot(params["xzt"], pts[:, jnp.array([0, 2, 3])], cfg.grid)
+        f_xyz = encode(params["xyz"], pts[:, :3], cfg.grid)
+        f_xyt = encode(params["xyt"], pts[:, jnp.array([0, 1, 3])], cfg.grid)
+        f_yzt = encode(params["yzt"], pts[:, jnp.array([1, 2, 3])], cfg.grid)
+        f_xzt = encode(params["xzt"], pts[:, jnp.array([0, 2, 3])], cfg.grid)
         v = sample_vectors_onehot(params["vectors"], pts)  # (chunk, 4, D)
         # Pairing from tensor_composition.cu:49-52.
         return f_xyz * v[:, 3] + f_xyt * v[:, 2] + f_yzt * v[:, 0] + f_xzt * v[:, 1]
@@ -170,5 +175,7 @@ def apply_decomposition4d(
     out = []
     for d in range(cfg.feature_dim):
         out.append(f_xyz[d] * v[3, d] + f_xyt[d] * v[2, d] + f_yzt[d] * v[0, d] + f_xzt[d] * v[1, d])
-    # (D, Nc, 128) → (N, D) once, for the MXU matmuls downstream.
-    return jnp.stack(out, axis=0).reshape(cfg.feature_dim, n).T
+    # (Nc, 128, D) → (N, D): row-major reshape keeps the sample order and,
+    # unlike a (D, N) transpose, leaves the downstream MLP dot with a
+    # standard-layout lhs (XLA CPU's bf16 dot thunk rejects transposed lhs).
+    return jnp.stack(out, axis=-1).reshape(n, cfg.feature_dim)

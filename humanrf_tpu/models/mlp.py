@@ -11,7 +11,7 @@ the reference's fp16-autocast (SURVEY.md §5, mixed precision).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,13 +14,12 @@ psums and the gradient psum.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from humanrf_tpu.models.humanrf import HumanRFModel
 from humanrf_tpu.train.pipeline import (

@@ -16,8 +16,6 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
-import jax
-import numpy as np
 from flax import serialization
 
 CHECKPOINT_SUFFIX = ".ckpt"

@@ -3,6 +3,7 @@
 - Huber (δ=0.01, mean) photometric loss  — `humanrf/trainer.py:89`
 - Manual autocast-safe BCE mask loss     — `humanrf/utils/loss.py:4-10`
 """
+import jax
 import jax.numpy as jnp
 
 
@@ -36,8 +37,6 @@ def masked_mean(values: jnp.ndarray, mask: jnp.ndarray, axis_name: str | None = 
     With `axis_name` (inside shard_map), numerator and denominator are psum'd
     over the mesh so the mean is global while gradients stay per-shard.
     """
-    import jax
-
     elems_per_row = values.size // values.shape[0]
     m = mask.reshape(mask.shape[0], *([1] * (values.ndim - 1))).astype(values.dtype)
     num = (values * m).sum()

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from typing import List
 
-import numpy as np
-
 from humanrf_tpu.core.dataset import VolumetricDataset
 
 PREDEFINED_SEGMENT_SIZES = [6, 12, 25, 50, 100]

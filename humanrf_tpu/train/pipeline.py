@@ -20,7 +20,6 @@ the loss exactly like the reference's merge-truncation at a ray boundary
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

@@ -150,8 +150,6 @@ class Trainer:
         save_every = self.config.training.save_checkpoint_every_n_steps
         validate_every = self.config.validation.every_n_steps
 
-        rays_done = 0
-        samples_done = 0
         window_start = time.time()
         last_log = self.step
 
@@ -170,8 +168,6 @@ class Trainer:
                 self.writer.add_scalar("psnr/training", -10 * np.log10(max(float(aux["mse"]), 1e-12)), self.step)
                 if "mask_loss" in aux:
                     self.writer.add_scalar("mask_loss/training", float(aux["mask_loss"]), self.step)
-                rays_done += int(aux["num_rays_supervised"]) + (self.pcfg.num_rays * (self.step - last_log - 1))
-                samples_done += int(aux["num_samples"]) * max(self.step - last_log, 1)
                 elapsed = time.time() - window_start
                 if elapsed > 0:
                     total_rays = self.pcfg.num_rays * (self.step - last_log)

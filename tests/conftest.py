@@ -14,6 +14,12 @@ import jax
 # tests never compile through the (slow, remote) TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is XLA-compile-bound; persist compiled executables across runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -71,3 +71,17 @@ def test_onehot_gradients_are_matmuls_and_correct(rng):
         a, b = np.asarray(g_gather[k]), np.asarray(g_onehot[k])
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=3e-2)
+
+
+def test_factored_onehot_matches(rng):
+    """The two-level factorized variant computes the same encoding."""
+    from humanrf_tpu.models.hash_encoding import hash_encode_onehot_factored
+
+    cfg = HashGridConfig(
+        n_levels=3, n_features_per_level=2, log2_hashmap_size=9, base_resolution=4, finest_resolution=32
+    )
+    table = jnp.asarray(rng.standard_normal((3, 2, cfg.table_size)).astype(np.float32))
+    positions = jnp.asarray(rng.uniform(0, 1, (256, 3)).astype(np.float32))
+    got = np.asarray(hash_encode_onehot_factored(table, positions, cfg))
+    want = np.asarray(hash_encode(table, positions, cfg))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
