@@ -34,9 +34,18 @@ from humanrf_tpu.train.pipeline import (
 AXIS = "data"
 
 
-def make_mesh(num_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+def make_mesh(num_devices: Optional[int] = None, backend: Optional[str] = None) -> Mesh:
+    """1-D data mesh. When the default backend has too few devices (e.g. a
+    single tunneled TPU chip) fall back to the virtual CPU devices configured
+    via --xla_force_host_platform_device_count."""
+    devices = jax.devices(backend) if backend else jax.devices()
+    if num_devices is not None and len(devices) < num_devices and backend is None:
+        devices = jax.devices("cpu")
     if num_devices is not None:
+        assert len(devices) >= num_devices, (
+            f"need {num_devices} devices; have {len(devices)} — set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n>"
+        )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (AXIS,))
 

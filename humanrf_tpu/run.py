@@ -176,6 +176,13 @@ def main(argv=None) -> None:
         )
 
         optimizer = make_optimizer(config.training.lr, config.training.lr_decay, config.training.max_steps)
+        mesh = None
+        if config.tpu.num_devices == 0 or config.tpu.num_devices > 1:
+            from humanrf_tpu.parallel.mesh import make_mesh
+
+            n = config.tpu.num_devices or len(jax.devices())
+            if n > 1:
+                mesh = make_mesh(n)
         trainer = Trainer(
             config=config,
             workspace=workspace,
@@ -185,6 +192,7 @@ def main(argv=None) -> None:
             optimizer=optimizer,
             resolution=training_data_loader.resolution,
             seed=config.random_seed,
+            mesh=mesh,
         )
         trainer.train(training_data_loader, validation_data_loader, max_steps=config.training.max_steps)
 

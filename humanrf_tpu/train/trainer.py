@@ -64,6 +64,7 @@ class Trainer:
         store_visualization_hd: bool = True,
         store_visualization_tb: bool = True,
         seed: int = 123,
+        mesh=None,
     ) -> None:
         self.config = config
         self.workspace = Path(workspace)
@@ -82,7 +83,15 @@ class Trainer:
 
         self.train_step_fn = None
         if optimizer is not None:
-            self.train_step_fn = make_train_step(self.pcfg, model, optimizer, width, height)
+            if mesh is not None and mesh.devices.size > 1:
+                from humanrf_tpu.parallel.mesh import make_sharded_train_step
+
+                self._log_info(f"data-parallel training over {mesh.devices.size} devices")
+                self.train_step_fn = make_sharded_train_step(
+                    self.pcfg, model, optimizer, width, height, mesh
+                )
+            else:
+                self.train_step_fn = make_train_step(self.pcfg, model, optimizer, width, height)
         # Validation/test loaders use their own (smaller) ray batch sizes; jitted
         # render fns are cached per batch size.
         self._render_fns = {}
@@ -122,7 +131,20 @@ class Trainer:
             import dataclasses
 
             width, height = self.resolution
-            pcfg = dataclasses.replace(self.pcfg, num_rays=batch_size)
+            # Scale the sample budgets to the render batch size so full-image
+            # rendering never silently truncates a ray's samples (the budgets
+            # in pcfg are per-training-batch; the per-ray sample density is a
+            # scene property, so scale proportionally, 128-aligned).
+            def scale(budget):
+                per_ray = max(budget // max(self.pcfg.num_rays, 1), 1)
+                return max(128, ((per_ray * batch_size + 127) // 128) * 128)
+
+            pcfg = dataclasses.replace(
+                self.pcfg,
+                num_rays=batch_size,
+                candidate_budget=scale(self.pcfg.candidate_budget),
+                sample_budget=scale(self.pcfg.sample_budget),
+            )
             self._render_fns[batch_size] = make_render_fn(pcfg, self.model, width, height)
         return self._render_fns[batch_size]
 

@@ -115,3 +115,40 @@ def test_resume_from_latest(e2e_workspace, capsys):
         resolution=(40, 40),
     )
     assert trainer.step == 150
+
+
+def test_cli_data_parallel_8_devices(tmp_path):
+    """configs[4] analog: multi-chip DP training straight from the CLI on the
+    8-virtual-device CPU mesh."""
+    from humanrf_tpu.core.synthetic import SyntheticSceneConfig, generate_synthetic_dataset
+    from humanrf_tpu.run import main
+
+    root = tmp_path / "data"
+    generate_synthetic_dataset(
+        root, SyntheticSceneConfig(num_cameras=6, width=40, height=40, num_frames=2, grid_resolution=32)
+    )
+    ws = tmp_path / "ws"
+    main(
+        [
+            "--config", "example_synthetic",
+            "--dataset.path", str(root),
+            "--workspace", str(ws),
+            "--device", "cpu",
+            "--tpu.num_devices", "8",
+            "--training.max_steps", "40",
+            "--training.rays_initial_batch_size", "512",
+            "--training.samples_max_batch_size", "16_384",
+            "--training.save_checkpoint_every_n_steps", "40",
+            "--validation.every_n_steps", "40",
+            "--validation.rays_batch_size", "512",
+            "--model.log2_hashmap_size", "12",
+            "--model.n_levels", "4",
+            "--model.finest_resolution", "128",
+            "--tpu.samples_per_ray", "256",
+            "--tpu.candidate_budget", "32_768",
+            "--dataset.max_buffer_size", "8",
+        ]
+    )
+    assert list((ws / "checkpoints").glob("step_*.ckpt"))
+    txt = (ws / "validation.txt").read_text()
+    assert "psnr=" in txt
