@@ -123,6 +123,9 @@ class _tpu_args:
     # Scene-field backend: "gather" (exact tcnn lookup semantics) or "onehot"
     # (gather-free interpolating-matmul; pair with small model.log2_hashmap_size).
     field_backend: str = "gather"
+    # When set, capture a jax.profiler trace of training steps 20-24 into this
+    # directory (view with TensorBoard's profile plugin).
+    profile_dir: Optional[Path] = None
 
 
 @dataclass

@@ -175,8 +175,19 @@ class Trainer:
         window_start = time.time()
         last_log = self.step
 
+        profile_dir = getattr(getattr(self.config, "tpu", None), "profile_dir", None)
+        trace_active = False
+
         for _ in range(self.step, max_steps + 1):
             self.step += 1
+            if profile_dir is not None:
+                if self.step == 20:
+                    jax.profiler.start_trace(str(profile_dir))
+                    trace_active = True
+                elif self.step == 25 and trace_active:
+                    jax.profiler.stop_trace()
+                    trace_active = False
+                    self._log_info(f"profiler trace of steps 20-24 written to {profile_dir}")
             batch, pool, grids, info = next(loader_iter)
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss, aux = self.train_step_fn(
@@ -214,6 +225,8 @@ class Trainer:
                         self.save(full_state=True, best=True)
                     training_data_loader.continue_replacing()
 
+        if trace_active:
+            jax.profiler.stop_trace()
         self.writer.close()
 
     # --------------------------------------------------------------- validate
