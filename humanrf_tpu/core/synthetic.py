@@ -38,6 +38,10 @@ class SyntheticSceneConfig:
     # World-space half-extent of per-frame AABBs around the sphere.
     aabb_margin: float = 0.1
     focal: float = 1.2  # normalized focal length
+    # Camera indices whose width/height are swapped (portrait orientation),
+    # exercising the loader's landscape/portrait handling like ActorsHQ's
+    # mixed rigs.
+    portrait_camera_indices: Tuple[int, ...] = ()
 
 
 def _look_at_cam2world(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -68,14 +72,17 @@ def make_cameras(cfg: SyntheticSceneConfig) -> List[CameraData]:
             [cfg.camera_distance * np.cos(angle), cfg.camera_distance * np.sin(angle), z]
         )
         R = _look_at_cam2world(eye, center)
+        portrait = i in cfg.portrait_camera_indices
+        width = cfg.height if portrait else cfg.width
+        height = cfg.width if portrait else cfg.height
         cameras.append(
             CameraData(
                 name=f"Cam{i + 1:03d}",
-                width=cfg.width,
-                height=cfg.height,
+                width=width,
+                height=height,
                 rotation_axisangle=Rotation.from_matrix(R).as_rotvec(),
                 translation=eye,
-                focal_length=np.array([cfg.focal, cfg.focal * cfg.width / cfg.height]),
+                focal_length=np.array([cfg.focal, cfg.focal * width / height]),
                 principal_point=np.array([0.5, 0.5]),
             )
         )

@@ -1,0 +1,128 @@
+"""Data-loader paths not covered by the square-image e2e tests: mixed
+landscape/portrait rigs, center-square cropping, light-bloom filtering."""
+import csv
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humanrf_tpu.core.dataset import VolumetricDataset
+from humanrf_tpu.core.synthetic import SyntheticSceneConfig, generate_synthetic_dataset
+from humanrf_tpu.data.loader import DataLoader
+from humanrf_tpu.train.pipeline import PipelineConfig, build_rays
+
+
+@pytest.fixture(scope="module")
+def mixed_dataset(tmp_path_factory):
+    """Non-square images with one portrait camera."""
+    root = tmp_path_factory.mktemp("mixed")
+    cfg = SyntheticSceneConfig(
+        num_cameras=6,
+        width=48,
+        height=32,
+        num_frames=2,
+        grid_resolution=32,
+        portrait_camera_indices=(2,),
+    )
+    data_dir = generate_synthetic_dataset(root, cfg)
+    return data_dir, cfg
+
+
+def _make_loader(data_dir, crop=False, **kw):
+    defaults = dict(
+        dataset=VolumetricDataset(data_dir, crop_center_square=crop),
+        mode=DataLoader.Mode.TRAINING,
+        dataloader_output_mode=DataLoader.OutputMode.RAYS_AND_SAMPLES,
+        space_pruning_mode=DataLoader.SpacePruningMode.OCCUPANCY_GRID,
+        batch_size=256,
+        camera_numbers=tuple(range(6)),
+        frame_numbers=(0, 1),
+        max_buffer_size=8,
+        max_num_frames_per_batch=2,
+        use_mask=True,
+        filter_light_bloom=False,
+    )
+    defaults.update(kw)
+    return DataLoader(**defaults)
+
+
+def test_mixed_orientation_rays_hit_sphere(mixed_dataset):
+    """Rays from portrait and landscape pool entries must both hit the actor
+    (exercises the width/height swap in build_rays)."""
+    data_dir, cfg = mixed_dataset
+    # Single frame → the buffer covers every (camera, frame) pair → no
+    # replacer thread → pool composition (and hence this test) is
+    # deterministic. (With >1 frame the training buffer is capped at
+    # cams·(max_num_frames_per_batch−1) and the replacer always runs.)
+    loader = _make_loader(data_dir, frame_numbers=(0,), max_num_frames_per_batch=1, max_buffer_size=12)
+    assert not loader.run_replacer_thread
+    assert loader.resolution == (48, 32)  # (landscape_w, landscape_h)
+    assert not loader.entry_landscape.all(), "pool should contain a portrait entry"
+
+    batch, pool, grids, info = next(iter(loader))
+    pcfg = PipelineConfig(num_rays=256, samples_per_ray=128, candidate_budget=4096, sample_budget=4096)
+    rays = build_rays(pcfg, batch, pool, grids, jnp.asarray(loader.aabb), 48, 32)
+
+    is_portrait = ~np.asarray(jnp.take(pool.landscape, batch.buffer_idx))
+    valid = np.asarray(rays.valid)
+    # Both orientations produce some valid (actor-hitting) rays.
+    assert valid[is_portrait].sum() > 0
+    assert valid[~is_portrait].sum() > 0
+    # Portrait hit rate should be in the same ballpark as landscape (a wrong
+    # w/h swap would scramble pixel decoding and crater it).
+    rate_p = valid[is_portrait].mean()
+    rate_l = valid[~is_portrait].mean()
+    assert rate_p > 0.3 * rate_l
+    loader.shutdown()
+
+
+def test_crop_center_square(mixed_dataset):
+    data_dir, cfg = mixed_dataset
+    ds = VolumetricDataset(data_dir, crop_center_square=True)
+    for cam in ds.cameras:
+        assert cam.width == cam.height == 32
+    rgb = ds.get_rgb(0, 0)
+    assert rgb.shape == (32, 32, 3)
+    loader = _make_loader(data_dir, crop=True)
+    assert loader.resolution == (32, 32)
+    batch, pool, grids, info = next(iter(loader))
+    assert batch.pixel_idx.shape == (256,)
+    loader.shutdown()
+
+
+def test_light_bloom_filtering(tmp_path):
+    """Rays inside an annotated light circle on the mask border get masked out.
+
+    Needs images wide enough that the reference's person-border kernel
+    round((80/4088)·width) is ≥ 2 px (at tiny widths it degenerates to a 1×1
+    erode — same as the reference would)."""
+    root = tmp_path / "bloom"
+    cfg = SyntheticSceneConfig(num_cameras=3, width=128, height=96, num_frames=1, grid_resolution=32)
+    data_dir = generate_synthetic_dataset(root, cfg)
+    # Annotate a big light covering the whole image for camera Cam001.
+    with open(data_dir / "light_annotations.csv", "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["camera", "x", "y", "r"])
+        writer.writerow(["Cam001", 64, 48, 200])
+
+    loader = _make_loader(
+        data_dir,
+        filter_light_bloom=True,
+        camera_numbers=(0, 1, 2),
+        frame_numbers=(0,),
+        max_num_frames_per_batch=1,
+    )
+    # Pool entry for camera 0 should have some filtered pixels: light_ok is
+    # False exactly on the person-border ∩ light-circle region.
+    cam0_entries = np.where(loader.entry_camera_numbers == 0)[0]
+    assert cam0_entries.size > 0
+    assert not loader.light_ok[cam0_entries[0]].all()
+    # Other cameras unaffected.
+    other = np.where(loader.entry_camera_numbers == 1)[0]
+    assert loader.light_ok[other[0]].all()
+
+    batch, pool, grids, info = next(iter(loader))
+    # Batch-level flag mirrors the pool data.
+    assert batch.ray_light_ok.shape == (256,)
+    loader.shutdown()
