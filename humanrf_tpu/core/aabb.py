@@ -1,12 +1,22 @@
-"""Per-frame AABB CSV IO; schema matches `/root/reference/actorshq/dataset/aabb_data.py:15-68`."""
+"""Per-frame axis-aligned bounding boxes, stored as CSV.
+
+On-disk schema (one row per frame, spec-bound to the ActorsHQ dataset layout,
+`/root/reference/actorshq/dataset/aabb_data.py`): a ``frame_number`` column
+followed by ``aabb_{min,max}_{x,y,z}``. In memory an AABB is a (2, 3) float
+array — row 0 the minimum corner, row 1 the maximum.
+"""
 from __future__ import annotations
 
 import csv
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List
+from typing import Iterable, List
 
 import numpy as np
+
+# Column order: min corner then max corner, xyz within each.
+_CORNER_COLUMNS = [f"aabb_{corner}_{axis}" for corner in ("min", "max") for axis in "xyz"]
+_ALL_COLUMNS = ["frame_number"] + _CORNER_COLUMNS
 
 
 @dataclass
@@ -16,49 +26,23 @@ class AabbData:
 
 
 def read_aabbs_csv(input_csv_path: Path) -> List[AabbData]:
-    aabbs = []
     with open(input_csv_path, "r", newline="", encoding="utf-8") as f:
-        for row in csv.DictReader(f):
-            aabbs.append(
-                AabbData(
-                    frame_number=int(row["frame_number"]),
-                    aabb=np.array(
-                        [
-                            float(row["aabb_min_x"]),
-                            float(row["aabb_min_y"]),
-                            float(row["aabb_min_z"]),
-                            float(row["aabb_max_x"]),
-                            float(row["aabb_max_y"]),
-                            float(row["aabb_max_z"]),
-                        ]
-                    ).reshape(2, 3),
-                )
-            )
-    return aabbs
-
-
-def write_aabbs_csv(aabbs: List[AabbData], output_csv_path: Path) -> None:
-    names = [
-        "frame_number",
-        "aabb_min_x",
-        "aabb_min_y",
-        "aabb_min_z",
-        "aabb_max_x",
-        "aabb_max_y",
-        "aabb_max_z",
+        rows = list(csv.DictReader(f))
+    return [
+        AabbData(
+            frame_number=int(row["frame_number"]),
+            aabb=np.fromiter((float(row[c]) for c in _CORNER_COLUMNS), dtype=np.float64).reshape(2, 3),
+        )
+        for row in rows
     ]
+
+
+def write_aabbs_csv(aabbs: Iterable[AabbData], output_csv_path: Path) -> None:
     with open(output_csv_path, "w", newline="", encoding="utf-8") as f:
-        writer = csv.DictWriter(f, fieldnames=names)
+        writer = csv.DictWriter(f, fieldnames=_ALL_COLUMNS)
         writer.writeheader()
-        for a in aabbs:
-            writer.writerow(
-                {
-                    "frame_number": str(a.frame_number),
-                    "aabb_min_x": str(a.aabb[0, 0]),
-                    "aabb_min_y": str(a.aabb[0, 1]),
-                    "aabb_min_z": str(a.aabb[0, 2]),
-                    "aabb_max_x": str(a.aabb[1, 0]),
-                    "aabb_max_y": str(a.aabb[1, 1]),
-                    "aabb_max_z": str(a.aabb[1, 2]),
-                }
-            )
+        for entry in aabbs:
+            corners = np.asarray(entry.aabb).reshape(6)
+            row = {"frame_number": str(entry.frame_number)}
+            row.update({col: str(v) for col, v in zip(_CORNER_COLUMNS, corners)})
+            writer.writerow(row)

@@ -1,59 +1,74 @@
 #!/usr/bin/env python3
 """ActorsHQ download manager.
 
-Same CLI and lazy-download semantics as
-`/root/reference/actorshq/dataset/download_manager.py:70-240`: fetch per-frame
-rgb/mask tars, calibration, occupancy grids, meshes, light annotations and
-aabbs from a signed-URL yaml into the on-disk dataset layout, skipping files
-that already exist. Requires network access and the access yaml from the
-ActorsHQ website.
+Same CLI and lazy-download capability as the reference tool
+(`/root/reference/actorshq/dataset/download_manager.py`): given the signed-URL
+yaml issued by the ActorsHQ website, assemble the on-disk dataset layout —
+per-frame rgb/mask tars fanned out into per-camera folders, calibration,
+scene metadata, occupancy grids, aabbs, light annotations, and optionally the
+alembic meshes. Every artifact is skipped when it already exists locally, so
+interrupted downloads resume for free.
+
+Implementation is stdlib-only (urllib + tarfile + lzma); requires network
+access, which CI images lack — exercised only on developer machines.
 """
 from __future__ import annotations
 
 import argparse
+import io
 import json
-import os
-import subprocess
+import lzma
+import tarfile
 from pathlib import Path
-from urllib.parse import urlparse
+from typing import Sequence
 
-import yaml
+from humanrf_tpu.core.dataset import VolumetricDatasetFilepaths
 
-from humanrf_tpu.core.dataset import VolumetricDataset, VolumetricDatasetFilepaths
-
-
-def read_yaml(file_path: Path):
-    with open(file_path, "r", encoding="UTF-8") as f:
-        return yaml.safe_load(f)
+_UNAVAILABLE = {("Actor03", "Sequence2"), ("Actor07", "Sequence2")}
 
 
-def download_lazy(source_url: str, target_file: Path, verbose: bool = True) -> None:
-    if target_file.exists():
-        return
-    import requests
+class _Fetcher:
+    """Lazy HTTP fetcher: a target that already exists is never re-fetched."""
 
-    response = requests.get(source_url)
-    response.raise_for_status()
-    if verbose:
-        print("Downloading", os.path.basename(urlparse(source_url).path))
-    with open(target_file, "wb") as f:
-        f.write(response.content)
+    def __init__(self, verbose: bool = True):
+        self.verbose = verbose
+
+    def fetch(self, url: str, target: Path) -> Path:
+        if not target.exists():
+            if self.verbose:
+                print(f"Downloading {target.name} ...")
+            from urllib.request import urlopen
+
+            target.parent.mkdir(parents=True, exist_ok=True)
+            tmp = target.with_suffix(target.suffix + ".part")
+            with urlopen(url) as response, open(tmp, "wb") as f:
+                while chunk := response.read(1 << 20):
+                    f.write(chunk)
+            tmp.rename(target)
+        return target
+
+    def fetch_bytes(self, url: str) -> bytes:
+        from urllib.request import urlopen
+
+        with urlopen(url) as response:
+            return response.read()
 
 
-def load_and_extract_views(file_link: str, target_folder: Path, frame_index: int) -> None:
-    tar_name = os.path.basename(urlparse(file_link).path)
-    if "rgb" in tar_name:
-        type_str, extension = "rgb", "jpg"
-    else:
-        type_str, extension = "mask", "png"
+def _extract_view_tar(tar_bytes: bytes, kind_root: Path) -> None:
+    """Fan a per-frame tar of 160 view images out into per-camera folders.
 
-    download_lazy(file_link, target_folder / tar_name, verbose=False)
-    subprocess.run(["tar", "-xf", os.fspath(target_folder / tar_name), "-C", str(target_folder)])
-    for camera_number in range(1, VolumetricDataset.NUM_CAMERAS + 1):
-        cam_name = f"Cam{camera_number:03d}"
-        filename = f"{cam_name}_{type_str}{frame_index:06d}.{extension}"
-        os.rename(target_folder / filename, target_folder / cam_name / filename)
-    (target_folder / tar_name).unlink()
+    Members are named ``Cam{NNN}_{rgb|mask}{FFFFFF}.{jpg|png}``; the camera
+    folder is derived from each member's name prefix.
+    """
+    with tarfile.open(fileobj=io.BytesIO(tar_bytes)) as tar:
+        for member in tar.getmembers():
+            if not member.isfile():
+                continue
+            camera_name = Path(member.name).name.split("_", 1)[0]
+            dest_dir = kind_root / camera_name
+            dest_dir.mkdir(parents=True, exist_ok=True)
+            payload = tar.extractfile(member)
+            (dest_dir / Path(member.name).name).write_bytes(payload.read())
 
 
 def download_dataset(
@@ -69,68 +84,60 @@ def download_dataset(
     include_mesh: bool = False,
     include_lightannotations: bool = True,
 ) -> Path:
-    if (actor, sequence) in [("Actor03", "Sequence2"), ("Actor07", "Sequence2")]:
+    if (actor, sequence) in _UNAVAILABLE:
         raise RuntimeError(f"{actor}{sequence} is not publicly available!")
 
-    scale_name = f"{scale}x"
-    local_sequence_folder = Path(dataset_target) / actor / sequence
-    local_scale_folder = local_sequence_folder / scale_name
-    local_scale_folder.mkdir(exist_ok=True, parents=True)
-    dataset_paths = VolumetricDatasetFilepaths(local_scale_folder)
+    import yaml
 
     print("Reading links ...")
-    links = read_yaml(dataset_file)
+    with open(dataset_file, "r", encoding="UTF-8") as f:
+        seq_links = yaml.safe_load(f)[actor][sequence]
+    scale_links = seq_links[f"{scale}x"]
 
-    download_lazy(links[actor][sequence]["scene"], dataset_paths.metadata_path)
-    sequence_num_frames = json.loads(dataset_paths.metadata_path.read_text())["num_frames"]
+    sequence_dir = Path(dataset_target) / actor / sequence
+    scale_dir = sequence_dir / f"{scale}x"
+    paths = VolumetricDatasetFilepaths(scale_dir)
+    scale_dir.mkdir(parents=True, exist_ok=True)
+
+    fetcher = _Fetcher()
+
+    # Sequence-level metadata first: scene.json bounds the frame range.
+    fetcher.fetch(seq_links["scene"], paths.metadata_path)
     if frame_stop == 0:
-        frame_stop = sequence_num_frames
+        frame_stop = json.loads(paths.metadata_path.read_text())["num_frames"]
 
-    for camera_number in range(1, VolumetricDataset.NUM_CAMERAS + 1):
-        if include_rgb:
-            (local_scale_folder / "rgbs" / f"Cam{camera_number:03d}").mkdir(exist_ok=True, parents=True)
-        if include_mask:
-            (local_scale_folder / "masks" / f"Cam{camera_number:03d}").mkdir(exist_ok=True, parents=True)
+    # Per-frame view tars. Existence of the Cam001 image is the resume marker.
+    view_kinds = []
+    if include_rgb:
+        view_kinds.append(("rgbs", paths.get_rgb_path))
+    if include_mask:
+        view_kinds.append(("masks", paths.get_mask_path))
+    for frame in range(frame_start, frame_stop):
+        for kind, probe in view_kinds:
+            if probe("Cam001", frame).exists():
+                continue
+            url = scale_links[kind][f"{kind}_{frame:06d}"]
+            _extract_view_tar(fetcher.fetch_bytes(url), scale_dir / kind)
 
-    for frame_index in range(frame_start, frame_stop):
-        if include_rgb and not dataset_paths.get_rgb_path("Cam001", frame_index).exists():
-            load_and_extract_views(
-                links[actor][sequence][scale_name]["rgbs"][f"rgbs_{frame_index:06d}"],
-                local_scale_folder / "rgbs",
-                frame_index,
-            )
-        if include_mask and not dataset_paths.get_mask_path("Cam001", frame_index).exists():
-            load_and_extract_views(
-                links[actor][sequence][scale_name]["masks"][f"masks_{frame_index:06d}"],
-                local_scale_folder / "masks",
-                frame_index,
-            )
+    fetcher.fetch(scale_links["calibration"], paths.calibration_path)
+    fetcher.fetch(seq_links["aabbs"], paths.aabbs_path)
+    if include_lightannotations:
+        fetcher.fetch(scale_links["light_annotations"], paths.get_light_annotations_path())
 
-    download_lazy(links[actor][sequence][scale_name]["calibration"], dataset_paths.calibration_path)
-
-    if not dataset_paths.get_occupancy_grid_path(0).exists():
-        local_occupancy_tar = local_sequence_folder / "occupancy_grids.tar.gz"
-        download_lazy(links[actor][sequence]["occupancy_grids"], local_occupancy_tar)
-        subprocess.run(["tar", "-xzf", os.fspath(local_occupancy_tar), "-C", str(local_sequence_folder)])
-        local_occupancy_tar.unlink()
+    if not paths.get_occupancy_grid_path(0).exists():
+        with tarfile.open(fileobj=io.BytesIO(fetcher.fetch_bytes(seq_links["occupancy_grids"])), mode="r:gz") as tar:
+            tar.extractall(sequence_dir, filter="data")
 
     if include_mesh:
-        download_lazy(links[actor][sequence]["meshes"], local_sequence_folder / "meshes.abc.xz")
-        subprocess.run(["xz", "-d", os.fspath(local_sequence_folder / "meshes.abc.xz")])
+        mesh_path = sequence_dir / "meshes.abc"
+        if not mesh_path.exists():
+            mesh_path.write_bytes(lzma.decompress(fetcher.fetch_bytes(seq_links["meshes"])))
 
-    if include_lightannotations:
-        download_lazy(
-            links[actor][sequence][scale_name]["light_annotations"],
-            dataset_paths.get_light_annotations_path(),
-        )
-
-    download_lazy(links[actor][sequence]["aabbs"], dataset_paths.aabbs_path)
-
-    return local_scale_folder
+    return scale_dir
 
 
-def main():
-    parser = argparse.ArgumentParser()
+def main(argv: Sequence[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("dataset_file", type=Path)
     parser.add_argument("target", type=Path)
     parser.add_argument("--actor", choices=[f"Actor{i:02d}" for i in range(1, 9)], required=True)
@@ -139,7 +146,7 @@ def main():
     parser.add_argument("--frame_start", type=int, default=0)
     parser.add_argument("--frame_stop", type=int, default=0)
     parser.add_argument("--include", default=["rgb", "mask"], choices=["mesh", "rgb", "mask"], nargs="*")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     download_dataset(
         args.dataset_file,

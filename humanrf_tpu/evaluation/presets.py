@@ -1,14 +1,18 @@
 """Frozen ActorsHQ camera splits, frame intervals, and render-sequence builders.
 
 The camera index sets and frame intervals are dataset constants reproduced from
-`/root/reference/actorshq/evaluation/presets.py:8-46`; the render-sequence
-builders match `presets.py:49-86` semantics (hero cam every 3rd frame, 13
-landscape test cams rotating every 5th frame for "siggraph_test").
+`/root/reference/actorshq/evaluation/presets.py:8-46` (they define which images
+were ever allowed into training vs. evaluation, so they must match bit-for-bit
+for comparable metrics). The sequence builders reproduce the published coverage
+semantics: "siggraph_test" renders the hero portrait camera on every 3rd frame
+plus the 13 landscape test cameras rotating over every 5th frame.
 """
-import itertools
-from typing import List, Tuple
+from itertools import product
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+Sequence2D = List[Tuple[int, int]]  # (camera_number, frame_number) pairs
 
 # Camera indices are 0-based (dataset camera names are 1-indexed).
 # fmt: off
@@ -31,27 +35,38 @@ camera_configs = {
 }
 # fmt: on
 
-for _name in ("siggraph_test", "siggraph_train_validation", "siggraph_train", "siggraph_vmaf"):
-    assert len(set(camera_configs[_name])) == len(camera_configs[_name])
+for _name, _cams in camera_configs.items():
+    assert len(set(_cams)) == len(_cams), f"duplicate camera in {_name}"
 
-# (start inclusive, end exclusive)
+# (start inclusive, end exclusive); all published intervals start at frame 15.
 frame_configs = {
-    "siggraph_interval_0": (15, 15 + 20),
-    "siggraph_interval_1": (15, 15 + 50),
-    "siggraph_interval_2": (15, 15 + 100),
-    "siggraph_interval_3": (15, 15 + 250),
-    "siggraph_interval_4": (15, 15 + 500),
-    "siggraph_interval_5": (15, 15 + 1000),
+    f"siggraph_interval_{i}": (15, 15 + n) for i, n in enumerate((20, 50, 100, 250, 500, 1000))
 }
 
+# Rotation order of the landscape test cameras in the published coverage.
+_SIGGRAPH_LANDSCAPE_ROTATION = (0, 63, 97, 30, 13, 70, 114, 24, 84, 43, 64, 103, 57)
 
-def get_spaced_elements(array, count):
-    return [array[i] for i in np.round(np.linspace(0, len(array) - 1, count)).astype(int)]
+
+def get_spaced_elements(array: Sequence, count: int) -> list:
+    """`count` elements spread evenly over `array` (endpoints included)."""
+    picks = np.round(np.linspace(0, len(array) - 1, count)).astype(int)
+    return [array[i] for i in picks]
 
 
-def get_vmaf_test_sequence(frame_numbers: List[int]) -> List[Tuple[int, int]]:
-    assert len(camera_configs["siggraph_vmaf"]) == 1
-    return list(zip(itertools.repeat(camera_configs["siggraph_vmaf"][0]), frame_numbers[::3]))
+def get_vmaf_test_sequence(frame_numbers: List[int], configs: Dict | None = None) -> Sequence2D:
+    """Hero camera × every 3rd frame — the VMAF video protocol."""
+    configs = configs or camera_configs
+    (hero,) = configs["siggraph_vmaf"]
+    return [(hero, f) for f in frame_numbers[::3]]
+
+
+def _siggraph_test_sequence(frame_numbers: List[int], configs: Dict) -> Sequence2D:
+    hero_part = get_vmaf_test_sequence(frame_numbers, configs)
+    rotation = _SIGGRAPH_LANDSCAPE_ROTATION
+    landscape_part = [
+        (rotation[i % len(rotation)], f) for i, f in enumerate(frame_numbers[::5])
+    ]
+    return list(set(hero_part) | set(landscape_part))
 
 
 def get_render_sequence(
@@ -60,31 +75,22 @@ def get_render_sequence(
     frame_numbers: List[int],
     repeat_cameras: int = 1,
     repeat_frames: int = 1,
-    camera_configs_override: dict = None,
-) -> List[Tuple[int, int]]:
-    """Build the (camera, frame) evaluation sequence.
+    camera_configs_override: Dict | None = None,
+) -> Sequence2D:
+    """Build the (camera, frame) evaluation sequence for a coverage mode.
 
     `camera_configs_override` lets synthetic-dataset tests substitute their own
     camera splits while keeping identical coverage semantics.
     """
     configs = camera_configs_override if camera_configs_override is not None else camera_configs
-    camera_numbers = list(itertools.chain.from_iterable(itertools.repeat(configs[camera_preset], repeat_cameras)))
-    frame_numbers = list(itertools.chain.from_iterable(itertools.repeat(frame_numbers, repeat_frames)))
+    cameras = list(configs[camera_preset]) * repeat_cameras
+    frames = list(frame_numbers) * repeat_frames
 
     if coverage == "siggraph_test":
         assert camera_preset == "siggraph_test"
-        render_sequence_hero = get_vmaf_test_sequence(frame_numbers)
-        landscape_views = [0, 63, 97, 30, 13, 70, 114, 24, 84, 43, 64, 103, 57]
-        render_sequence_landscape = [
-            (landscape_views[i % len(landscape_views)], frame_idx)
-            for i, frame_idx in enumerate(frame_numbers[::5])
-        ]
-        return list(set(render_sequence_hero + render_sequence_landscape))
-
+        return _siggraph_test_sequence(frames, configs)
     if coverage == "exhaustive":
-        return list(itertools.product(camera_numbers, frame_numbers))
-
+        return list(product(cameras, frames))
     if coverage == "uniform":
-        return list(zip(camera_numbers, get_spaced_elements(frame_numbers, len(camera_numbers))))
-
+        return list(zip(cameras, get_spaced_elements(frames, len(cameras))))
     raise NotImplementedError(f"Unknown coverage: {coverage}")
