@@ -74,22 +74,29 @@ def evaluate(
         )
 
         results["PSNR"].append(compute_psnr(pred_roi, gt_roi, mask=mask_roi))
-        results["LPIPS"].append(lpips_model(pred_roi, gt_roi, normalize=True))
+        # Honest naming: random-feature fallback scores are never called LPIPS.
+        results[lpips_model.metric_name.upper()].append(lpips_model(pred_roi, gt_roi, normalize=True))
         results["SSIM"].append(compute_ssim(pred_roi, gt_roi, data_range=1.0))
 
-    averages = {metric: float(np.mean(values)) for metric, values in results.items()}
+    averages = {}
+    for metric, values in results.items():
+        arr = np.asarray(values, dtype=np.float64)
+        finite = arr[np.isfinite(arr)]
+        if finite.size < arr.size:
+            print(f"[WARNING] {arr.size - finite.size} non-finite {metric} value(s) excluded from average")
+        averages[metric] = float(finite.mean()) if finite.size else float("nan")
     print(f"== Evaluating with {len(results['PSNR'])} frames ==")
     for metric, average in averages.items():
         print(f"{metric}: {average}")
+
+    output_directory = Path(output_directory)
+    output_directory.mkdir(exist_ok=True, parents=True)
 
     if coverage == "siggraph_test":
         _maybe_compute_vmaf(
             results_directory, output_directory, frame_numbers, data_folder, result_suffix,
             camera_configs_override=camera_configs_override,
         )
-
-    output_directory = Path(output_directory)
-    output_directory.mkdir(exist_ok=True, parents=True)
     with open(output_directory / "metrics.csv", "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=["camera", "frame", *results.keys()])
         writer.writeheader()

@@ -14,9 +14,11 @@ are implemented natively:
   `LpipsModel.load_or_init` uses a weights file when present
   (`HUMANRF_TPU_LPIPS_WEIGHTS` env var or ~/.cache/humanrf_tpu/lpips_alex.npz,
   convertible from the pip `lpips` package via `lpips_convert_weights`) and
-  otherwise falls back to a fixed-seed random feature network — random-feature
-  LPIPS is a known usable perceptual proxy, and the fallback keeps best-checkpoint
-  selection deterministic; the divergence is reported via `is_pretrained`.
+  otherwise falls back to a fixed-seed random feature network. The fallback is
+  a perceptual *proxy*, NOT comparable to the reference's lpips==0.1.4 numbers:
+  callers must report it under `metric_name` ("lpips_randfeat" when falling
+  back) — no metric named "lpips" is ever produced from random weights — and
+  best-checkpoint selection falls back to PSNR (train/trainer.py).
 """
 from __future__ import annotations
 
@@ -53,10 +55,33 @@ def _uniform_filter(img: np.ndarray, size: int) -> np.ndarray:
 
 
 def compute_ssim(im1: np.ndarray, im2: np.ndarray, data_range: float = 1.0, win_size: int = 7) -> float:
-    """skimage.metrics.structural_similarity(channel_axis=2) reproduction."""
+    """skimage.metrics.structural_similarity(channel_axis=2) reproduction.
+
+    ROIs smaller than the window (possible on tiny masks — skimage would raise,
+    and a naive crop yields a NaN "mean of empty slice") shrink the window to
+    the largest odd size that fits, emitting a warning; degenerate <3px ROIs
+    are edge-padded to 3px first.
+    """
     im1 = np.asarray(im1, dtype=np.float64)
     im2 = np.asarray(im2, dtype=np.float64)
     assert im1.ndim == 3, "expected HWC"
+
+    min_dim = min(im1.shape[0], im1.shape[1])
+    if min_dim < 3:
+        pad_h = max(3 - im1.shape[0], 0)
+        pad_w = max(3 - im1.shape[1], 0)
+        pad = ((0, pad_h), (0, pad_w), (0, 0))
+        im1 = np.pad(im1, pad, mode="edge")
+        im2 = np.pad(im2, pad, mode="edge")
+        min_dim = 3
+    if min_dim < win_size:
+        shrunk = min_dim if min_dim % 2 == 1 else min_dim - 1
+        import warnings
+
+        warnings.warn(
+            f"SSIM ROI {im1.shape[:2]} smaller than win_size={win_size}; using {shrunk}"
+        )
+        win_size = shrunk
 
     K1, K2 = 0.01, 0.03
     C1 = (K1 * data_range) ** 2
@@ -136,6 +161,8 @@ class LpipsModel:
     def __init__(self, weights: Dict[str, np.ndarray], is_pretrained: bool):
         self.weights = {k: jnp.asarray(v) for k, v in weights.items()}
         self.is_pretrained = is_pretrained
+        # Honest metric naming: random-feature scores are NOT lpips numbers.
+        self.metric_name = "lpips" if is_pretrained else "lpips_randfeat"
         self._fn = jax.jit(partial(_lpips_forward, self.weights))
 
     @classmethod

@@ -93,3 +93,29 @@ def test_lpips_fallback_properties(rng):
     assert d1 > 0
     # Symmetric.
     assert model(other, img) == pytest.approx(d1, rel=1e-4)
+
+
+def test_ssim_tiny_roi_no_nan(rng):
+    """ROIs smaller than the 7x7 window must yield a finite SSIM with a
+    warning, not a NaN that poisons validation averages (VERDICT weak #6)."""
+    import warnings
+
+    a = rng.uniform(0, 1, (4, 5, 3))
+    b = rng.uniform(0, 1, (4, 5, 3))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        val = compute_ssim(a, b)
+        assert any("smaller than win_size" in str(x.message) for x in w)
+    assert np.isfinite(val)
+    # Degenerate 1-pixel-wide ROI still finite.
+    assert np.isfinite(compute_ssim(a[:1, :2], b[:1, :2]))
+    # Identical images → SSIM 1 regardless of window shrink.
+    assert compute_ssim(a, a) == pytest.approx(1.0)
+
+
+def test_lpips_fallback_is_honestly_named():
+    model = LpipsModel.load_or_init()
+    if not model.is_pretrained:
+        assert model.metric_name == "lpips_randfeat"
+    else:
+        assert model.metric_name == "lpips"
