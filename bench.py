@@ -41,37 +41,56 @@ def main():
     # onehot pairs with small per-level tables (2^12 → 2^11 after the
     # 50-frame segment scaling); gather keeps the reference's 2^19 → 2^18.
     log2_hashmap = 12 if backend == "onehot" else 19
+    # "proposal" (default): CP proposal field + importance resampling — the
+    # TPU-native sampling flagship (every valid ray supervised, static (R, K)
+    # lattice). "dense": the reference's 4e-4 march + budget compaction.
+    sampling = os.environ.get("BENCH_SAMPLING", "proposal")
+    num_rays = int(os.environ.get("BENCH_RAYS", "16384" if sampling == "proposal" else "8192"))
 
     num_frames = 50
     model = HumanRFModel(
         HumanRFConfig(
             sorted_frame_numbers=tuple(range(num_frames)),
             segment_sizes=(num_frames,),
-            log2_hashmap_size=log2_hashmap,
-            n_levels=16,
+            log2_hashmap_size=int(os.environ.get("BENCH_LOG2_T", str(log2_hashmap))),
+            n_levels=int(os.environ.get("BENCH_LEVELS", "16")),
+            n_features_per_level=int(os.environ.get("BENCH_FEATURES", "2")),
             coarsest_resolution=32,
             finest_resolution=2048,
             camera_embedding_dim=2,
             field_backend=backend,
+            proposal_rank=16 if sampling == "proposal" else 0,
+            proposal_resolution=128,
         )
     )
     params = model.init_params(jax.random.PRNGKey(0))
     n_params = model.num_params(params)
 
-    # One-pass configuration: on TPU the gather-bound cost of the no-grad
-    # visibility-prune pass (an extra density eval over 2× the budget) exceeds
-    # what it saves in the differentiable pass, so the budget-sized candidate
-    # set is rendered directly (the reference's prune exists to cut CUDA MLP
-    # work, volume_rendering.py:42-84; masked low-weight samples contribute ~0
-    # to the loss either way).
-    cfg = PipelineConfig(
-        num_rays=8192,
-        samples_per_ray=1024,
-        candidate_budget=640_000,
-        sample_budget=640_000,
-        space_pruning="occupancy",
-        use_visibility_prune=False,
-    )
+    if sampling == "proposal":
+        # Importance sampling: 64 coarse proposal bins (cheap CP field) → 32
+        # field samples/ray; supervised rays == valid rays, no budget
+        # truncation (ops/resample.py).
+        cfg = PipelineConfig(
+            num_rays=num_rays,
+            sampling="proposal",
+            proposal_samples_per_ray=int(os.environ.get("BENCH_KC", "64")),
+            render_samples_per_ray=int(os.environ.get("BENCH_KF", "32")),
+            space_pruning="occupancy",
+        )
+    else:
+        # One-pass dense configuration: on TPU the gather-bound cost of the
+        # no-grad visibility-prune pass (an extra density eval over 2× the
+        # budget) exceeds what it saves in the differentiable pass, so the
+        # budget-sized candidate set is rendered directly (the reference's
+        # prune exists to cut CUDA MLP work, volume_rendering.py:42-84).
+        cfg = PipelineConfig(
+            num_rays=num_rays,
+            samples_per_ray=1024,
+            candidate_budget=640_000,
+            sample_budget=640_000,
+            space_pruning="occupancy",
+            use_visibility_prune=False,
+        )
 
     # Camera pool: 8 entries around a human-sized occupied region. Cameras are
     # close enough that the "actor" fills a large part of the frame (as in the
@@ -137,33 +156,43 @@ def main():
         file=sys.stderr,
     )
 
-    # Timed steps.
+    # Timed steps. Supervised-ray counts accumulate device-side (no per-step
+    # host sync); "supervised" = rays actually contributing to the loss — the
+    # honest apples-to-apples number vs the reference, whose dynamic batching
+    # only ever counts rays it supervises (trainer.py:139-163).
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    supervised_accum = jnp.zeros((), dtype=jnp.float32)
     t0 = time.time()
     for i in range(n_steps):
         params, opt_state, loss, aux = step(
             params, opt_state, batch, pool, grids, aabb, jax.random.PRNGKey(2 + i)
         )
+        supervised_accum = supervised_accum + aux["num_rays_supervised"]
         if i == 0:
             jax.block_until_ready(loss)
             print(f"# first timed step: {time.time()-t0:.2f}s", file=sys.stderr)
     jax.block_until_ready(loss)
     elapsed = time.time() - t0
-    rays_per_sec = cfg.num_rays * n_steps / elapsed
+    nominal_rays_per_sec = cfg.num_rays * n_steps / elapsed
+    supervised_rays_per_sec = float(supervised_accum) / elapsed
     samples_per_sec = float(aux["num_samples"]) * n_steps / elapsed
     print(
         f"# {n_steps} steps in {elapsed:.2f}s → {n_steps/elapsed:.2f} it/s, "
-        f"{rays_per_sec:.0f} rays/s, {samples_per_sec/1e6:.2f}M samples/s",
+        f"{nominal_rays_per_sec:.0f} nominal rays/s, {supervised_rays_per_sec:.0f} supervised rays/s, "
+        f"{samples_per_sec/1e6:.2f}M samples/s",
         file=sys.stderr,
     )
 
     print(
         json.dumps(
             {
-                "metric": "training_rays_per_sec",
-                "value": round(rays_per_sec, 1),
+                "metric": "supervised_training_rays_per_sec",
+                "value": round(supervised_rays_per_sec, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+                "vs_baseline": round(supervised_rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+                "nominal_rays_per_sec": round(nominal_rays_per_sec, 1),
+                "sampling": sampling,
+                "backend": backend,
             }
         )
     )

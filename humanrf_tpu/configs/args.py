@@ -123,6 +123,15 @@ class _tpu_args:
     # Scene-field backend: "gather" (exact tcnn lookup semantics) or "onehot"
     # (gather-free interpolating-matmul; pair with small model.log2_hashmap_size).
     field_backend: str = "gather"
+    # Sampling strategy: "dense" (reference semantics: 4e-4 lattice + optional
+    # visibility prune) or "proposal" (CP proposal field + importance
+    # resampling over a static (R, K) lattice; see ops/resample.py).
+    sampling: str = "dense"
+    proposal_samples_per_ray: int = 64
+    render_samples_per_ray: int = 32
+    proposal_rank: int = 16
+    proposal_resolution: int = 128
+    proposal_loss_weight: float = 1.0
     # When set, capture a jax.profiler trace of training steps 20-24 into this
     # directory (view with TensorBoard's profile plugin).
     profile_dir: Optional[Path] = None

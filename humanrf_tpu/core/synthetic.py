@@ -42,6 +42,15 @@ class SyntheticSceneConfig:
     # exercising the loader's landscape/portrait handling like ActorsHQ's
     # mixed rigs.
     portrait_camera_indices: Tuple[int, ...] = ()
+    # --- detail controls (quality/capacity experiments, PERF.md) -------------
+    # Spatial frequency of the procedural surface texture; ~6 is smooth, ≥30
+    # produces the high-frequency detail that separates field capacities.
+    texture_frequency: float = 6.0
+    # Thin capsule "spikes" radiating from the sphere: sub-voxel structures
+    # that stress both sampling density and grid resolution.
+    num_rods: int = 0
+    rod_radius: float = 0.02
+    rod_length: float = 0.3
 
 
 def _look_at_cam2world(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -94,10 +103,68 @@ def _sphere_center(cfg: SyntheticSceneConfig, frame_idx: int) -> np.ndarray:
     return (1 - t) * np.asarray(cfg.center_start) + t * np.asarray(cfg.center_end)
 
 
-def _render_sphere(
-    camera: CameraData, center: np.ndarray, radius: float, frame_phase: float
+def _rod_directions(num_rods: int) -> np.ndarray:
+    """Evenly-spread unit directions (golden-spiral) for the capsule spikes."""
+    k = np.arange(num_rods) + 0.5
+    phi = np.arccos(1 - 2 * k / num_rods)
+    theta = np.pi * (1 + 5**0.5) * k
+    return np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)], axis=-1
+    )
+
+
+def _intersect_sphere(origin, dirs, center, radius):
+    """Ray-sphere. Returns (t_hit [H,W], hit [H,W], normals [H,W,3])."""
+    oc = origin - center
+    b = 2.0 * dirs @ oc
+    c = float(oc @ oc) - radius * radius
+    disc = b * b - 4 * c
+    sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
+    t_hit = (-b - sqrt_disc) / 2.0
+    hit = (disc > 0) & (t_hit > 0)
+    points = origin + dirs * t_hit[..., None]
+    normals = (points - center) / radius
+    return t_hit, hit, normals
+
+
+def _intersect_capsule(origin, dirs, p0, p1, radius):
+    """Ray-capsule (cylinder body + end spheres), vectorized over (H, W) rays."""
+    axis = p1 - p0
+    length = float(np.linalg.norm(axis))
+    axis = axis / length
+
+    # Infinite cylinder |(q − p0) ⊥ axis| = r.
+    oc = origin - p0
+    d_perp = dirs - (dirs @ axis)[..., None] * axis
+    oc_perp = oc - (oc @ axis) * axis
+    a = (d_perp * d_perp).sum(-1)
+    b = 2.0 * (d_perp @ oc_perp)
+    c = float(oc_perp @ oc_perp) - radius * radius
+    disc = b * b - 4 * a * c
+    sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
+    t_cyl = (-b - sqrt_disc) / np.maximum(2 * a, 1e-12)
+    along = (origin + dirs * t_cyl[..., None] - p0) @ axis
+    hit_cyl = (disc > 0) & (t_cyl > 0) & (along >= 0) & (along <= length)
+
+    t_best = np.where(hit_cyl, t_cyl, np.inf)
+    # End caps.
+    for cap in (p0, p1):
+        t_s, hit_s, _ = _intersect_sphere(origin, dirs, cap, radius)
+        t_best = np.where(hit_s & (t_s < t_best), t_s, t_best)
+
+    hit = np.isfinite(t_best)
+    points = origin + dirs * np.where(hit, t_best, 0.0)[..., None]
+    along = np.clip((points - p0) @ axis, 0.0, length)
+    normals = points - (p0 + along[..., None] * axis)
+    normals = normals / np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+    return t_best, hit, normals
+
+
+def _render_scene(
+    cfg: SyntheticSceneConfig, camera: CameraData, center: np.ndarray, frame_phase: float
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Analytically ray-trace a diffuse sphere. Returns (rgb [H,W,3] in [0,1], mask [H,W])."""
+    """Analytically ray-trace the actor (sphere + optional thin capsule spikes).
+    Returns (rgb [H,W,3] in [0,1], mask [H,W])."""
     H, W = camera.height, camera.width
     inv_kr = camera.inverse_kr()
     xs = np.arange(W) + 0.5
@@ -108,25 +175,30 @@ def _render_sphere(
     dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
     origin = camera.translation
 
-    oc = origin - center
-    b = 2.0 * dirs @ oc
-    c = float(oc @ oc) - radius * radius
-    disc = b * b - 4 * c
-    hit = disc > 0
-    sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
-    t_hit = (-b - sqrt_disc) / 2.0
-    hit &= t_hit > 0
+    # Nearest hit over all primitives.
+    t_best, hit_any, normals = _intersect_sphere(origin, dirs, center, cfg.sphere_radius)
+    t_best = np.where(hit_any, t_best, np.inf)
+    for rod_dir in _rod_directions(cfg.num_rods) if cfg.num_rods else []:
+        p0 = center + rod_dir * cfg.sphere_radius * 0.8
+        p1 = center + rod_dir * (cfg.sphere_radius + cfg.rod_length)
+        t_r, hit_r, n_r = _intersect_capsule(origin, dirs, p0, p1, cfg.rod_radius)
+        closer = hit_r & (t_r < t_best)
+        t_best = np.where(closer, t_r, t_best)
+        normals = np.where(closer[..., None], n_r, normals)
+        hit_any = hit_any | hit_r
+    hit = hit_any & np.isfinite(t_best)
 
-    points = origin + dirs * t_hit[..., None]
-    normals = (points - center) / radius
-    # View-independent color pattern over the surface so different cameras
-    # must agree (important for a meaningful convergence test); pattern rotates
-    # with frame_phase so time matters too.
+    points = origin + dirs * np.where(hit, t_best, 0.0)[..., None]
+    # View-independent volumetric color pattern, evaluated at the surface point
+    # (so all cameras must agree); `texture_frequency` sets the detail scale
+    # and the phase animates it over frames.
+    f = cfg.texture_frequency
+    local = (points - center) / cfg.sphere_radius
     rgb = 0.5 + 0.5 * np.stack(
         [
-            np.sin(6 * normals[..., 0] + frame_phase),
-            np.sin(6 * normals[..., 1] + 2.0 + frame_phase),
-            np.sin(6 * normals[..., 2] + 4.0),
+            np.sin(f * local[..., 0] + frame_phase) * np.cos(0.7 * f * local[..., 1]),
+            np.sin(f * local[..., 1] + 2.0 + frame_phase) * np.cos(0.9 * f * local[..., 2]),
+            np.sin(f * local[..., 2] + 4.0) * np.cos(0.8 * f * local[..., 0]),
         ],
         axis=-1,
     )
@@ -139,19 +211,35 @@ def _render_sphere(
     return rgb.astype(np.float32), hit.astype(np.uint8)
 
 
-def _occupancy_grid(cfg: SyntheticSceneConfig, center_scaled: np.ndarray, radius_scaled: float) -> np.ndarray:
+def _occupancy_grid(
+    cfg: SyntheticSceneConfig, center_scaled: np.ndarray, scene_scale: float
+) -> np.ndarray:
     """Occupancy grid over the canonical [-0.5, 0.5] cube: 255 where inside the
-    (slightly dilated) sphere, matching the visual-hull-carved grids the
-    reference's toolbox produces: values {0, 255}, stored [z][y][x] with
-    corner-aligned voxel coords i/(res-1) − 0.5
+    (slightly dilated) actor — sphere plus any capsule spikes — matching the
+    visual-hull-carved grids the reference's toolbox produces: values {0, 255},
+    stored [z][y][x] with corner-aligned voxel coords i/(res-1) − 0.5
     (`occupancy_grid_generation.cu:37,81`)."""
     res = cfg.grid_resolution
     coords = np.arange(res) / (res - 1) - 0.5
     gz, gy, gx = np.meshgrid(coords, coords, coords, indexing="ij")
     pts = np.stack([gx, gy, gz], axis=-1)  # [z][y][x] array of (x,y,z) points
-    dist = np.linalg.norm(pts - center_scaled, axis=-1)
     dilation = 1.5 / res
-    return np.where(dist <= radius_scaled + dilation, 255, 0).astype(np.uint8)
+    radius_scaled = cfg.sphere_radius * scene_scale
+
+    dist = np.linalg.norm(pts - center_scaled, axis=-1)
+    inside = dist <= radius_scaled + dilation
+    if cfg.num_rods:
+        flat = pts.reshape(-1, 3)
+        rod_r = cfg.rod_radius * scene_scale + dilation
+        for rod_dir in _rod_directions(cfg.num_rods):
+            p0 = center_scaled + rod_dir * radius_scaled * 0.8
+            p1 = center_scaled + rod_dir * (cfg.sphere_radius + cfg.rod_length) * scene_scale
+            axis = p1 - p0
+            denom = float(axis @ axis)
+            along = np.clip((flat - p0) @ axis / denom, 0.0, 1.0)
+            seg_dist = np.linalg.norm(flat - (p0 + along[:, None] * axis), axis=-1)
+            inside |= (seg_dist <= rod_r).reshape(res, res, res)
+    return np.where(inside, 255, 0).astype(np.uint8)
 
 
 def generate_synthetic_dataset(
@@ -176,9 +264,10 @@ def generate_synthetic_dataset(
 
     # Per-frame AABBs around the moving sphere (world units).
     aabbs = []
+    actor_extent = cfg.sphere_radius + (cfg.rod_length + cfg.rod_radius if cfg.num_rods else 0.0)
     for fi, fn in enumerate(frame_numbers):
         center = _sphere_center(cfg, fi)
-        r = cfg.sphere_radius + cfg.aabb_margin
+        r = actor_extent + cfg.aabb_margin
         aabbs.append(AabbData(frame_number=fn, aabb=np.stack([center - r, center + r], axis=0)))
     write_aabbs_csv(aabbs, seq_dir / "aabbs.csv")
 
@@ -193,7 +282,7 @@ def generate_synthetic_dataset(
         center = _sphere_center(cfg, fi)
         frame_phase = 0.5 * fi
         for cam in cameras:
-            rgb, mask = _render_sphere(cam, center, cfg.sphere_radius, frame_phase)
+            rgb, mask = _render_scene(cfg, cam, center, frame_phase)
             rgb_dir = data_dir / "rgbs" / cam.name
             mask_dir = data_dir / "masks" / cam.name
             rgb_dir.mkdir(parents=True, exist_ok=True)
@@ -203,7 +292,7 @@ def generate_synthetic_dataset(
             cv2.imwrite(str(mask_dir / f"{cam.name}_mask{fn:06d}.png"), mask * 255)
 
         center_scaled = (center + scene_offset) * scene_scale
-        grid = _occupancy_grid(cfg, center_scaled, cfg.sphere_radius * scene_scale)
+        grid = _occupancy_grid(cfg, center_scaled, scene_scale)
         np.savez_compressed(str(seq_dir / "occupancy_grids" / f"occupancy_grid{fn:06d}.npz"), occupancy_grid=grid)
 
     # Empty light annotations (schema presence only).

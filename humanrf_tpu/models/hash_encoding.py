@@ -203,13 +203,19 @@ def interpolating_onehot(corner_indices, corner_weights, table_size: int) -> jax
     """corner_indices/corner_weights: lists of (N,) arrays → (N, T) bf16 rows.
 
     row[n, t] = Σ_c  w_c[n] · [idx_c[n] == t]
+
+    Built directly in bf16: the (N, T) buffer is the step's dominant HBM
+    traffic (PERF.md), an fp32 intermediate + cast pass doubles it, and the
+    row values are interpolation weights in [0, 1] whose bf16 rounding is far
+    below the hash-collision noise floor.
     """
     n = corner_indices[0].shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, table_size), 1)
-    oh = jnp.zeros((n, table_size), dtype=jnp.float32)
+    oh = jnp.zeros((n, table_size), dtype=jnp.bfloat16)
     for idx, w in zip(corner_indices, corner_weights):
-        oh = oh + jnp.where(idx[:, None] == iota, w[:, None], 0.0)
-    return oh.astype(jnp.bfloat16)
+        w16 = jnp.asarray(w, dtype=jnp.float32).astype(jnp.bfloat16)
+        oh = oh + jnp.where(idx[:, None] == iota, w16[:, None], jnp.bfloat16(0))
+    return oh
 
 
 def hash_encode_onehot(table: jax.Array, positions: jax.Array, cfg: HashGridConfig) -> jax.Array:

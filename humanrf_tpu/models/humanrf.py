@@ -32,6 +32,11 @@ from humanrf_tpu.models.decomposition4d import (
 )
 from humanrf_tpu.models.hash_encoding import HashGridConfig
 from humanrf_tpu.models.mlp import apply_mlp, init_mlp
+from humanrf_tpu.models.proposal import (
+    ProposalFieldConfig,
+    apply_proposal_field,
+    init_proposal_field,
+)
 from humanrf_tpu.models.sh import sh_encode
 
 # Matches humanrf/adaptive_temporal_partitioning.py:8.
@@ -60,6 +65,10 @@ class HumanRFConfig:
     # interpolating-matmul backend (use with small log2_hashmap_size, ≤ 12 —
     # see PERF.md for why this exists on TPU).
     field_backend: str = "gather"
+    # Proposal density field for importance sampling (models/proposal.py);
+    # rank 0 disables it (dense-march pipeline only).
+    proposal_rank: int = 0
+    proposal_resolution: int = 128
 
     @property
     def total_feature_dim(self) -> int:
@@ -135,6 +144,12 @@ class HumanRFModel:
         self.frame_to_segment = jnp.asarray(frame_to_segment)
         self.frame_to_local_time = jnp.asarray(frame_to_local_time)
 
+        self.proposal_config: Optional[ProposalFieldConfig] = None
+        if cfg.proposal_rank > 0:
+            self.proposal_config = ProposalFieldConfig(
+                resolution=cfg.proposal_resolution, rank=cfg.proposal_rank
+            )
+
     # ------------------------------------------------------------------ params
 
     def init_params(self, rng: jax.Array) -> Dict:
@@ -164,6 +179,12 @@ class HumanRFModel:
             params["camera_embeddings"] = jax.random.normal(
                 keys[-1], (NUM_CAMERAS, cfg.camera_embedding_dim), dtype=jnp.float32
             )
+        if self.proposal_config is not None:
+            prop_keys = jax.random.split(keys[-1], cfg.num_segments + 1)[1:]
+            params["proposal"] = [
+                init_proposal_field(prop_keys[s], self.proposal_config)
+                for s in range(cfg.num_segments)
+            ]
         return params
 
     def num_params(self, params) -> int:
@@ -209,6 +230,30 @@ class HumanRFModel:
             feats = feats + jnp.where(mask, seg_feats, 0.0)
         return feats
 
+    def proposal_density(self, params: Dict, positions: jax.Array, frame_numbers: jax.Array) -> jax.Array:
+        """Cheap coarse density for importance sampling (models/proposal.py).
+
+        positions (N, 3) in [-0.5, 0.5]; frame_numbers (N,) → sigma (N,) fp32.
+        Per-segment routing mirrors `features`.
+        """
+        assert self.proposal_config is not None, "model built with proposal_rank=0"
+        frame_numbers = frame_numbers.astype(jnp.int32)
+        times = jnp.take(self.frame_to_local_time, frame_numbers)[:, None]
+        coords = jnp.concatenate([positions + 0.5, times], axis=-1)
+
+        if self.config.num_segments == 1:
+            return apply_proposal_field(params["proposal"][0], coords, self.proposal_config)
+
+        segment_ids = jnp.take(self.frame_to_segment, frame_numbers)
+        sigma = jnp.zeros(positions.shape[0], dtype=jnp.float32)
+        for s in range(self.config.num_segments):
+            mask = segment_ids == s
+            seg_sigma = apply_proposal_field(
+                params["proposal"][s], jnp.where(mask[:, None], coords, 0.0), self.proposal_config
+            )
+            sigma = sigma + jnp.where(mask, seg_sigma, 0.0)
+        return sigma
+
     def density(self, params: Dict, positions: jax.Array, frame_numbers: jax.Array):
         """→ (density (N,), geometry_features (N, G)). humanrf.py:158-186."""
         feats = self.features(params, positions, frame_numbers)
@@ -241,3 +286,19 @@ class HumanRFModel:
 
         radiance = apply_mlp(params["color_net"], jnp.concatenate(color_in, axis=-1), output_activation="sigmoid")
         return density, radiance
+
+    def query(self, params: Dict, query: QueryInput) -> QueryOutput:
+        """Reference-shaped entry point (`query_io.py:6-20`, `humanrf.py:158,188`):
+        density-only when `query.directions is None`, full forward otherwise."""
+        if query.directions is None:
+            density, geo = self.density(params, query.positions, query.frame_numbers)
+            return QueryOutput(density=density, geometry_features=geo)
+        density, radiance = self.forward(
+            params,
+            query.positions,
+            query.directions,
+            query.frame_numbers,
+            camera_numbers=query.camera_numbers,
+            is_training=query.is_training,
+        )
+        return QueryOutput(density=density, radiance=radiance)

@@ -105,6 +105,40 @@ class RenderOutput(NamedTuple):
     weights_sum: jax.Array  # (R, 1)
 
 
+# ---------------------------------------------------------------------------
+# Grid-layout rendering: samples in a static (R, K) lattice (proposal mode).
+# With a fixed per-ray sample count the "segmented" scan degenerates to a
+# plain per-row cumsum and accumulation to a batched contraction — the
+# cheapest possible form on TPU.
+# ---------------------------------------------------------------------------
+
+
+def render_weights_grid(
+    density: jax.Array, dt: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
+    """(R, K) density + per-sample interval lengths → compositing weights.
+
+        alpha_i = 1 − exp(−σ_i·Δt_i),  T_i = exp(−Σ_{j<i} σ_j·Δt_j),  w = T·α
+    """
+    sigma_dt = density * dt
+    if mask is not None:
+        sigma_dt = jnp.where(mask, sigma_dt, 0.0)
+    excl = jnp.cumsum(sigma_dt, axis=-1) - sigma_dt
+    weights = jnp.exp(-excl) * (1.0 - jnp.exp(-sigma_dt))
+    if mask is not None:
+        weights = jnp.where(mask, weights, 0.0)
+    return weights
+
+
+def composite_grid(weights: jax.Array, radiance: jax.Array, background_rgb) -> RenderOutput:
+    """weights (R, K), radiance (R, K, 3) → per-ray color + accumulated alpha."""
+    color = jnp.einsum("rk,rkc->rc", weights, radiance)
+    weights_sum = weights.sum(axis=-1, keepdims=True)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - weights_sum)
+    return RenderOutput(color=color, weights_sum=weights_sum)
+
+
 def prune_samples(
     density_fn,
     samples: SampleSet,

@@ -1,0 +1,145 @@
+"""Importance resampling along rays (proposal sampling), TPU-native.
+
+The reference finds its per-ray sample set by dense 4e-4 marching plus a
+visibility-prune density pass over the FULL candidate set
+(`/root/reference/humanrf/volume_rendering.py:42-84`) — on TPU that makes the
+no-grad pass as expensive as the render pass (PERF.md). The TPU-native recast
+is hierarchical importance sampling (mip-NeRF 360-style proposal sampling):
+
+1. a cheap proposal density is evaluated on a coarse per-ray lattice of
+   ``K_c`` stratified bins over [tmin, tmax] (static (R, K_c) shapes);
+2. coarse transmittance weights define a piecewise-constant PDF per ray;
+3. ``K_f + 1`` interval *edges* are drawn by stratified inverse-CDF
+   transform; the render samples are the interval midpoints with per-sample
+   ``dt`` = interval length.
+
+Everything is a per-row (ray-major) operation on static (R, K) arrays — plain
+cumsums and O(log K) vectorized searchsorted passes, no gathers over tables,
+no compaction, and every valid ray ends up supervised.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_bins(tmin: jax.Array, tmax: jax.Array, num_bins: int, u: jax.Array | None = None):
+    """Per-ray coarse lattice. tmin/tmax: (R,) → (t_mid (R, K), dt (R, K), edges (R, K+1)).
+
+    ``u``: optional (R, K) stratified offsets in [0, 1) (0.5 when None —
+    deterministic bin centers for validation/test).
+    """
+    num_rays = tmin.shape[0]
+    span = jnp.maximum(tmax - tmin, 1e-8)[:, None]  # (R, 1)
+    k = jnp.arange(num_bins + 1, dtype=jnp.float32)[None, :]
+    edges = tmin[:, None] + span * (k / num_bins)  # (R, K+1)
+    if u is None:
+        u = jnp.full((num_rays, num_bins), 0.5, dtype=jnp.float32)
+    t = edges[:, :-1] + (span / num_bins) * u
+    dt = jnp.broadcast_to(span / num_bins, (num_rays, num_bins))
+    return t, dt, edges
+
+
+def weights_to_cdf(weights: jax.Array, uniform_bonus: float = 1e-2) -> jax.Array:
+    """(R, K) non-negative weights → (R, K+1) normalized CDF with 0/1 endpoints.
+
+    ``uniform_bonus`` mixes in a uniform floor (weight padding) so empty rays
+    still produce a valid PDF and the sampler keeps exploring.
+    """
+    w = jnp.maximum(weights, 0.0) + uniform_bonus / weights.shape[-1]
+    cum = jnp.cumsum(w, axis=-1)
+    cdf = cum / cum[:, -1:]
+    return jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+
+
+def sample_intervals(
+    edges: jax.Array,
+    cdf: jax.Array,
+    num_samples: int,
+    u: jax.Array | None = None,
+):
+    """Inverse-CDF draw of `num_samples` render intervals per ray.
+
+    edges: (R, K+1) coarse bin edges; cdf: (R, K+1) matching CDF.
+    ``u``: optional (R, num_samples+1) stratified variates for the interval
+    edges (deterministic midpoints when None).
+    Returns (t_mid (R, S), dt (R, S)) with dt the interval length — sorted and
+    non-overlapping by construction.
+    """
+    num_rays, kp1 = edges.shape
+    s = num_samples
+    if u is None:
+        offs = jnp.full((num_rays, s + 1), 0.5, dtype=jnp.float32)
+    else:
+        offs = u
+    j = jnp.arange(s + 1, dtype=jnp.float32)[None, :]
+    # Stratified edge positions in CDF space, strictly inside (0, 1).
+    pos = jnp.clip((j + offs - 0.5) / s, 1e-6, 1.0 - 1e-6)  # (R, S+1)
+
+    # Invert the piecewise-linear CDF: find the coarse bin of each variate…
+    find = jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="right") - 1)
+    bin_idx = jnp.clip(find(cdf, pos), 0, kp1 - 2)  # (R, S+1)
+    take = jax.vmap(jnp.take)
+    c0 = take(cdf, bin_idx)
+    c1 = take(cdf, bin_idx + 1)
+    e0 = take(edges, bin_idx)
+    e1 = take(edges, bin_idx + 1)
+    # …and lerp within it.
+    frac = (pos - c0) / jnp.maximum(c1 - c0, 1e-12)
+    t_edges = e0 + frac * (e1 - e0)  # (R, S+1), non-decreasing
+
+    t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
+    dt = t_edges[:, 1:] - t_edges[:, :-1]
+    return t_mid, dt
+
+
+def histogram_outer_mass(
+    edges: jax.Array, weights: jax.Array, t0: jax.Array, t1: jax.Array
+) -> jax.Array:
+    """Proposal mass covering each query interval, via the proposal CDF.
+
+    edges: (R, K+1) proposal bin edges; weights: (R, K) proposal weights
+    (NOT normalized); t0/t1: (R, S) query interval bounds.
+    Returns (R, S): the piecewise-linear-interpolated weight mass between
+    t0 and t1 — an upper bound on the true bin-overlap mass ("outer measure")
+    up to the linear interpolation within bins.
+    """
+    cum = jnp.concatenate([jnp.zeros_like(weights[:, :1]), jnp.cumsum(weights, axis=-1)], axis=-1)
+
+    def interp_row(e, c, t):
+        idx = jnp.clip(jnp.searchsorted(e, t, side="right") - 1, 0, e.shape[0] - 2)
+        e0 = jnp.take(e, idx)
+        e1 = jnp.take(e, idx + 1)
+        c0 = jnp.take(c, idx)
+        c1 = jnp.take(c, idx + 1)
+        frac = jnp.clip((t - e0) / jnp.maximum(e1 - e0, 1e-12), 0.0, 1.0)
+        below = c0 + frac * (c1 - c0)
+        # Clamp outside the edge range.
+        below = jnp.where(t <= e[0], 0.0, below)
+        return jnp.where(t >= e[-1], c[-1], below)
+
+    cum_at = jax.vmap(interp_row)
+    return jnp.maximum(cum_at(edges, cum, t1) - cum_at(edges, cum, t0), 0.0)
+
+
+def proposal_distillation_per_ray(
+    prop_edges: jax.Array,
+    prop_weights: jax.Array,
+    fine_t0: jax.Array,
+    fine_t1: jax.Array,
+    fine_weights: jax.Array,
+) -> jax.Array:
+    """mip-NeRF 360 interlevel loss, per ray: the proposal histogram must
+    upper-bound the (stop-gradient) fine weights on every fine interval.
+
+        L_ray = Σ_samples relu(w_f − P)² / (w_f + eps)
+
+    (mip-NeRF 360 Eq. 13 — the denominator is the *fine* weight, which keeps
+    every term ≤ w_f ≤ 1 and the gradient w.r.t. the bound ≤ 2.)
+    Gradients flow only into `prop_weights`. Callers mask + average (so the
+    normalization can be psum'd exactly under data parallelism).
+    """
+    w_f = jax.lax.stop_gradient(fine_weights)
+    bound = histogram_outer_mass(prop_edges, prop_weights, fine_t0, fine_t1)
+    excess = jnp.maximum(w_f - bound, 0.0)
+    return (excess**2 / (w_f + 1e-7)).sum(axis=-1)

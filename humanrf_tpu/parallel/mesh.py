@@ -34,18 +34,33 @@ from humanrf_tpu.train.pipeline import (
 AXIS = "data"
 
 
-def make_mesh(num_devices: Optional[int] = None, backend: Optional[str] = None) -> Mesh:
-    """1-D data mesh. When the default backend has too few devices (e.g. a
-    single tunneled TPU chip) fall back to the virtual CPU devices configured
-    via --xla_force_host_platform_device_count."""
+def make_mesh(
+    num_devices: Optional[int] = None,
+    backend: Optional[str] = None,
+    allow_cpu_fallback: bool = False,
+) -> Mesh:
+    """1-D data mesh over `num_devices` devices of the default (or named)
+    backend.
+
+    Under-provisioning is an error: a job configured for N chips must not
+    silently train on host CPU cores. The only exception is an *explicit*
+    `allow_cpu_fallback=True` (used by hermetic tests/dryruns), which retries
+    on the virtual CPU devices configured via
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=<n>``.
+    """
     devices = jax.devices(backend) if backend else jax.devices()
-    if num_devices is not None and len(devices) < num_devices and backend is None:
-        devices = jax.devices("cpu")
+    if num_devices is not None and len(devices) < num_devices:
+        if allow_cpu_fallback and backend is None:
+            devices = jax.devices("cpu")
+        if len(devices) < num_devices:
+            raise RuntimeError(
+                f"requested a {num_devices}-device mesh but the "
+                f"{backend or 'default'} backend has only {len(devices)} "
+                "device(s); refusing to under-provision. For hermetic CPU "
+                "testing pass allow_cpu_fallback=True and set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=<n>."
+            )
     if num_devices is not None:
-        assert len(devices) >= num_devices, (
-            f"need {num_devices} devices; have {len(devices)} — set "
-            "XLA_FLAGS=--xla_force_host_platform_device_count=<n>"
-        )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (AXIS,))
 
@@ -77,28 +92,34 @@ def make_sharded_train_step(
     shard_cfg = shard_pipeline_config(cfg, num_devices)
 
     def per_shard(params, opt_state, batch: HostBatch, pool: PoolArrays, grids, aabb, rng):
-        # Distinct per-shard RNG for jitter/background noise.
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
+        # Global ray identities: shard_map splits the batch into contiguous
+        # blocks along the mesh axis, so shard i owns rays
+        # [i·R_local, (i+1)·R_local). All jitter/background noise is keyed by
+        # these ids (utils/rngs.py) — the sharded step therefore computes the
+        # SAME per-ray noise, loss, and gradients as the single-device step.
+        shard = jax.lax.axis_index(AXIS)
+        ray_ids = shard * shard_cfg.num_rays + jnp.arange(shard_cfg.num_rays, dtype=jnp.int32)
 
         rays = build_rays(shard_cfg, batch, pool, grids, aabb, width, height)
-        samples = build_samples(shard_cfg, rays, pool, grids, batch.buffer_idx)
+        samples = None
+        if shard_cfg.sampling != "proposal":
+            samples = build_samples(shard_cfg, rays, pool, grids, batch.buffer_idx)
 
         def loss_fn(p):
             return training_loss(
-                shard_cfg, model, p, rays, samples, batch.rgba, rng, axis_name=AXIS
+                shard_cfg, model, p, rays, samples, batch.rgba, rng, axis_name=AXIS,
+                ray_ids=ray_ids, pool=pool, grids=grids, buffer_idx=batch.buffer_idx,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         # Loss num/den were already psum-normalized inside; gradients carry
         # each shard's local contribution → sum over the mesh.
         grads = jax.lax.psum(grads, AXIS)
-        aux = {
-            "photometric": aux["photometric"],
-            "mse": aux["mse"],
-            "mask_loss": aux.get("mask_loss", jnp.zeros(())),
-            "num_samples": jax.lax.psum(aux["num_samples"], AXIS),
-            "num_rays_supervised": jax.lax.psum(aux["num_rays_supervised"], AXIS),
-        }
+        # Scalar losses are already globally normalized (psum'd num/den inside
+        # masked_mean); only the counts need a mesh-wide sum.
+        aux = dict(aux)
+        aux["num_samples"] = jax.lax.psum(aux["num_samples"], AXIS)
+        aux["num_rays_supervised"] = jax.lax.psum(aux["num_rays_supervised"], AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss, aux

@@ -30,6 +30,10 @@ def build_pipeline_config(config):
         space_pruning="occupancy",
         use_visibility_prune=config.tpu.use_visibility_prune,
         bce_loss_weight=config.training.bce_loss_weight,
+        sampling=config.tpu.sampling,
+        proposal_samples_per_ray=config.tpu.proposal_samples_per_ray,
+        render_samples_per_ray=config.tpu.render_samples_per_ray,
+        proposal_loss_weight=config.tpu.proposal_loss_weight,
     )
 
 
@@ -130,6 +134,8 @@ def main(argv=None) -> None:
             sh_degree=config.model.sh_degree,
             camera_embedding_dim=config.model.camera_embedding_dim,
             field_backend=config.tpu.field_backend,
+            proposal_rank=config.tpu.proposal_rank if config.tpu.sampling == "proposal" else 0,
+            proposal_resolution=config.tpu.proposal_resolution,
         )
     )
     pcfg = build_pipeline_config(config)

@@ -26,11 +26,24 @@ import jax
 import jax.numpy as jnp
 
 from humanrf_tpu.models.humanrf import HumanRFModel
-from humanrf_tpu.ops.occupancy import coarsen_grid, occupancy_ray_minmax
+from humanrf_tpu.ops.occupancy import coarsen_grid, occupancy_ray_minmax, sample_occupancy
 from humanrf_tpu.ops.rays import aabb_intersect, pixel_to_ray
-from humanrf_tpu.ops.render import RenderOutput, prune_samples, render
+from humanrf_tpu.ops.render import (
+    RenderOutput,
+    composite_grid,
+    prune_samples,
+    render,
+    render_weights_grid,
+)
+from humanrf_tpu.ops.resample import (
+    proposal_distillation_per_ray,
+    sample_intervals,
+    stratified_bins,
+    weights_to_cdf,
+)
 from humanrf_tpu.ops.sampling import SampleSet, generate_samples
 from humanrf_tpu.train.losses import bce_loss, huber_loss, masked_mean
+from humanrf_tpu.utils.rngs import uniform_per_id
 
 
 @dataclass(frozen=True)
@@ -54,6 +67,20 @@ class PipelineConfig:
     # halves the march cost; the per-sample occupancy filter stays full-res,
     # so results only gain a few extra (filtered) candidates.
     march_grid_factor: int = 2
+    # --- sampling strategy ---------------------------------------------------
+    # "dense": the reference pipeline — 4e-4 candidate lattice, occupancy
+    # filter, optional visibility prune, flat compacted sample buffer.
+    # "proposal": TPU-native importance sampling — a cheap CP proposal field
+    # (model.proposal_rank > 0 required) shapes a per-ray PDF; rendering uses
+    # a static (R, K_f) sample lattice; every valid ray is supervised
+    # (ops/resample.py). The candidate/sample budgets are ignored.
+    sampling: str = "dense"
+    proposal_samples_per_ray: int = 64
+    render_samples_per_ray: int = 32
+    proposal_loss_weight: float = 1.0
+    # Zero the proposal density outside the occupancy hull (instant
+    # concentration, same role as the reference's per-sample occupancy filter).
+    proposal_use_occupancy: bool = True
 
 
 class PoolArrays(NamedTuple):
@@ -156,14 +183,27 @@ def prune_and_render(
     background_rgb,
     rng: Optional[jax.Array],
     is_training: bool,
+    ray_ids: Optional[jax.Array] = None,
 ):
-    """prune_samples + render (volume_rendering.py:42-150) on the flat buffers."""
-    if is_training and rng is not None and not cfg.use_visibility_prune:
-        # The reference jitters sample distances inside prune_samples
-        # (volume_rendering.py:63-64); keep the jitter when pruning is off.
-        samples = samples._replace(
-            t=samples.t + jax.random.uniform(rng, samples.t.shape) * cfg.render_step_size
-        )
+    """prune_samples + render (volume_rendering.py:42-150) on the flat buffers.
+
+    `ray_ids`: global ray identities for shard-invariant jitter (defaults to
+    arange — correct on a single device / unsharded step).
+    """
+    if is_training and rng is not None:
+        # The reference jitters every sample distance by U[0, step) inside
+        # prune_samples (volume_rendering.py:63-64). Keyed here by
+        # (global ray id, lattice slot) instead of buffer slot so the noise —
+        # and therefore the gradients — are identical under any data sharding.
+        if ray_ids is None:
+            ray_ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
+        ray_idx = jnp.clip(samples.ray, 0, cfg.num_rays - 1)
+        lattice = jnp.round(
+            (samples.t - jnp.take(rays.tmin, ray_idx)) / cfg.render_step_size
+        ).astype(jnp.int32)
+        sample_ids = jnp.take(ray_ids, ray_idx) * cfg.samples_per_ray + lattice
+        u = uniform_per_id(rng, sample_ids)
+        samples = samples._replace(t=samples.t + u * cfg.render_step_size)
     if cfg.use_visibility_prune:
         density_fn = lambda p, f: model.density(params, p, f)[0]
         samples = prune_samples(
@@ -174,7 +214,7 @@ def prune_and_render(
             rays.frame_numbers,
             cfg.num_rays,
             cfg.sample_budget,
-            rng=rng if is_training else None,
+            rng=None,  # jitter already applied above, shard-invariantly
             render_step_size=cfg.render_step_size,
         )
 
@@ -193,28 +233,132 @@ def prune_and_render(
     return out, samples
 
 
+def proposal_render(
+    cfg: PipelineConfig,
+    model: HumanRFModel,
+    params,
+    rays: RayData,
+    pool: PoolArrays,
+    grids: jax.Array,
+    buffer_idx: jax.Array,
+    rng: Optional[jax.Array],
+    is_training: bool,
+    background_rgb,
+    ray_ids: Optional[jax.Array] = None,
+):
+    """Importance-sampled rendering over a static (R, K) lattice.
+
+    1. coarse stratified bins over [tmin, tmax] → proposal density (cheap CP
+       field) → coarse compositing weights;
+    2. inverse-CDF draw of `render_samples_per_ray` intervals (midpoint +
+       per-sample dt);
+    3. one differentiable field evaluation on the (R, K_f) lattice, plain
+       per-row cumsum rendering.
+
+    Returns (RenderOutput, aux) where aux carries the distillation loss term
+    and sample statistics. All noise is keyed by global ray identity
+    (utils/rngs.py) so DP sharding reproduces the unsharded step.
+    """
+    num_rays = cfg.num_rays
+    k_coarse = cfg.proposal_samples_per_ray
+    k_fine = cfg.render_samples_per_ray
+    if ray_ids is None:
+        ray_ids = jnp.arange(num_rays, dtype=jnp.int32)
+
+    u_coarse = u_fine = None
+    if is_training and rng is not None:
+        rng_c, rng_f = jax.random.split(rng)
+        coarse_ids = ray_ids[:, None] * k_coarse + jnp.arange(k_coarse, dtype=jnp.int32)[None, :]
+        u_coarse = uniform_per_id(rng_c, coarse_ids.reshape(-1)).reshape(num_rays, k_coarse)
+        fine_ids = ray_ids[:, None] * (k_fine + 1) + jnp.arange(k_fine + 1, dtype=jnp.int32)[None, :]
+        u_fine = uniform_per_id(rng_f, fine_ids.reshape(-1)).reshape(num_rays, k_fine + 1)
+
+    # --- coarse pass (no gradient into sample positions) ----------------------
+    t_c, dt_c, edges_c = stratified_bins(rays.tmin, rays.tmax, k_coarse, u_coarse)
+    pts_c = rays.origins[:, None, :] + rays.directions[:, None, :] * t_c[..., None]
+    frames_rep = jnp.repeat(rays.frame_numbers, k_coarse)
+    sigma_prop = model.proposal_density(
+        params, pts_c.reshape(-1, 3), frames_rep
+    ).reshape(num_rays, k_coarse)
+    coarse_mask = jnp.broadcast_to(rays.valid[:, None], (num_rays, k_coarse))
+    if cfg.proposal_use_occupancy and cfg.space_pruning == "occupancy":
+        grid_ids = jnp.take(pool.grid_slots, buffer_idx)
+        occ = sample_occupancy(grids, grid_ids[:, None], pts_c + 0.5)
+        coarse_mask = coarse_mask & occ
+    w_prop = render_weights_grid(sigma_prop, dt_c, coarse_mask)
+
+    # Resampling uses the proposal PDF but must not backprop through it
+    # (gradients reach the proposal only via the distillation loss).
+    cdf = weights_to_cdf(jax.lax.stop_gradient(w_prop))
+    t_f, dt_f = sample_intervals(edges_c, cdf, k_fine, u_fine)
+
+    # --- fine (render) pass ----------------------------------------------------
+    pts_f = rays.origins[:, None, :] + rays.directions[:, None, :] * t_f[..., None]
+    density, radiance = model.forward(
+        params,
+        pts_f.reshape(-1, 3),
+        jnp.repeat(rays.directions, k_fine, axis=0),
+        jnp.repeat(rays.frame_numbers, k_fine),
+        jnp.repeat(rays.camera_numbers, k_fine),
+        is_training=is_training,
+    )
+    density = density.reshape(num_rays, k_fine)
+    radiance = radiance.reshape(num_rays, k_fine, 3)
+    fine_mask = jnp.broadcast_to(rays.valid[:, None], (num_rays, k_fine))
+    w_fine = render_weights_grid(density, dt_f, fine_mask)
+    out = composite_grid(w_fine, radiance, background_rgb)
+
+    aux = {
+        "num_samples": fine_mask.sum(),
+        "proposal_loss_per_ray": proposal_distillation_per_ray(
+            edges_c, w_prop, t_f - 0.5 * dt_f, t_f + 0.5 * dt_f, w_fine
+        ),
+    }
+    return out, aux
+
+
 def training_loss(
     cfg: PipelineConfig,
     model: HumanRFModel,
     params,
     rays: RayData,
-    samples: SampleSet,
+    samples: Optional[SampleSet],
     rgba: jax.Array,
     rng: jax.Array,
     axis_name: str | None = None,
+    ray_ids: Optional[jax.Array] = None,
+    pool: Optional[PoolArrays] = None,
+    grids: Optional[jax.Array] = None,
+    buffer_idx: Optional[jax.Array] = None,
 ):
-    """Random-background compositing + Huber + BCE (trainer.py:229-248)."""
+    """Random-background compositing + Huber + BCE (trainer.py:229-248).
+
+    All noise is keyed by global ray identity (utils/rngs.py) so the sharded
+    step reproduces the single-device step bit-for-bit up to fp reassociation.
+    """
+    if ray_ids is None:
+        ray_ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
     rng_bg, rng_jitter = jax.random.split(rng)
     gt_rgb = rgba[:, 0:3]
     gt_mask = rgba[:, 3:4]
-    background = jax.random.uniform(rng_bg, gt_rgb.shape)
+    background = uniform_per_id(rng_bg, ray_ids, num=3)
     gt_rgb = gt_rgb * gt_mask + background * (1.0 - gt_mask)
 
-    out, pruned = prune_and_render(
-        cfg, model, params, rays, samples, background, rng_jitter, is_training=True
-    )
+    proposal_aux = {}
+    if cfg.sampling == "proposal":
+        out, proposal_aux = proposal_render(
+            cfg, model, params, rays, pool, grids, buffer_idx, rng_jitter,
+            is_training=True, background_rgb=background, ray_ids=ray_ids,
+        )
+        loss_mask = rays.valid
+        num_samples = proposal_aux["num_samples"]
+    else:
+        out, pruned = prune_and_render(
+            cfg, model, params, rays, samples, background, rng_jitter, is_training=True, ray_ids=ray_ids
+        )
+        loss_mask = rays.valid & pruned.ray_included
+        num_samples = pruned.num_valid
 
-    loss_mask = rays.valid & pruned.ray_included
     photometric = masked_mean(huber_loss(out.color, gt_rgb, cfg.huber_delta), loss_mask, axis_name)
     total = photometric
     aux = {"photometric": photometric}
@@ -222,10 +366,16 @@ def training_loss(
         mask_l = masked_mean(bce_loss(out.weights_sum, gt_mask), loss_mask, axis_name) * cfg.bce_loss_weight
         total = total + mask_l
         aux["mask_loss"] = mask_l
+    if cfg.sampling == "proposal":
+        prop_l = masked_mean(
+            proposal_aux["proposal_loss_per_ray"][:, None], loss_mask, axis_name
+        )
+        total = total + cfg.proposal_loss_weight * prop_l
+        aux["proposal_loss"] = prop_l
 
     mse = masked_mean((out.color - gt_rgb) ** 2, loss_mask, axis_name)
     aux["mse"] = mse
-    aux["num_samples"] = pruned.num_valid
+    aux["num_samples"] = num_samples
     aux["num_rays_supervised"] = loss_mask.sum()
     return total, aux
 
@@ -235,10 +385,15 @@ def make_train_step(cfg: PipelineConfig, model: HumanRFModel, optimizer, width: 
 
     def step(params, opt_state, batch: HostBatch, pool: PoolArrays, grids, aabb, rng):
         rays = build_rays(cfg, batch, pool, grids, aabb, width, height)
-        samples = build_samples(cfg, rays, pool, grids, batch.buffer_idx)
+        samples = None
+        if cfg.sampling != "proposal":
+            samples = build_samples(cfg, rays, pool, grids, batch.buffer_idx)
 
         def loss_fn(p):
-            return training_loss(cfg, model, p, rays, samples, batch.rgba, rng)
+            return training_loss(
+                cfg, model, p, rays, samples, batch.rgba, rng,
+                pool=pool, grids=grids, buffer_idx=batch.buffer_idx,
+            )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -254,8 +409,14 @@ def make_render_fn(cfg: PipelineConfig, model: HumanRFModel, width: int, height:
 
     def fn(params, batch: HostBatch, pool: PoolArrays, grids, aabb, background_rgb):
         rays = build_rays(cfg, batch, pool, grids, aabb, width, height)
-        samples = build_samples(cfg, rays, pool, grids, batch.buffer_idx)
-        out, _ = prune_and_render(cfg, model, params, rays, samples, background_rgb, None, is_training=False)
+        if cfg.sampling == "proposal":
+            out, _ = proposal_render(
+                cfg, model, params, rays, pool, grids, batch.buffer_idx,
+                rng=None, is_training=False, background_rgb=background_rgb,
+            )
+        else:
+            samples = build_samples(cfg, rays, pool, grids, batch.buffer_idx)
+            out, _ = prune_and_render(cfg, model, params, rays, samples, background_rgb, None, is_training=False)
         color = jnp.where(rays.valid[:, None], out.color, background_rgb)
         wsum = jnp.where(rays.valid[:, None], out.weights_sum, 0.0)
         return RenderOutput(color=color, weights_sum=wsum), rays.valid

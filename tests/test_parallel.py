@@ -90,10 +90,26 @@ def test_sharded_step_runs_on_8_devices():
         assert bool(jnp.isfinite(leaf).all())
 
 
-def test_sharded_matches_single_device_grads():
-    """DP over 8 shards must produce (numerically) the same update as the
-    single-device step on the same batch."""
+@pytest.mark.parametrize("use_prune", [False, True, "proposal"])
+def test_sharded_matches_single_device_grads(use_prune):
+    """DP over 8 shards must produce the same loss AND the same post-SGD-step
+    parameters as the single-device step on the same batch: noise is keyed by
+    global ray identity (utils/rngs.py), loss normalization is psum'd, and the
+    psum'd gradients must therefore equal the global gradient. A broken psum
+    (or shard-dependent noise) turns this red."""
+    import dataclasses
+
     model, params, cfg, pool, grids, aabb, batch = _tiny_setup()
+    if use_prune == "proposal":
+        from humanrf_tpu.models.humanrf import HumanRFModel
+
+        model = HumanRFModel(dataclasses.replace(model.config, proposal_rank=8, proposal_resolution=32))
+        params = model.init_params(jax.random.PRNGKey(0))
+        cfg = dataclasses.replace(
+            cfg, sampling="proposal", proposal_samples_per_ray=32, render_samples_per_ray=16
+        )
+    elif use_prune:
+        cfg = dataclasses.replace(cfg, use_visibility_prune=True)
     opt = optax.sgd(1e-2)  # no adam-eps nonlinearity → clean comparison
 
     single = make_train_step(cfg, model, opt, 16, 16)
@@ -107,12 +123,35 @@ def test_sharded_matches_single_device_grads():
         jax.tree_util.tree_map(jnp.copy, params), opt.init(params), batch, pool, grids, aabb, jax.random.PRNGKey(0)
     )
 
-    # Same supervision domain (rngs differ per shard → background noise differs,
-    # so compare structure not exact numbers: both losses finite & same sample
-    # counts; with prune off and jitterless eval the sample sets are identical).
     assert int(aux1["num_samples"]) == int(aux8["num_samples"])
     assert int(aux1["num_rays_supervised"]) == int(aux8["num_rays_supervised"])
-    assert np.isfinite(float(loss8))
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(p8))
+    assert len(flat1) == len(flat8)
+    flat0 = dict(jax.tree_util.tree_leaves_with_path(params))
+    for path, leaf1 in flat1:
+        leaf8 = flat8[path]
+        # fp reassociation across different gradient-sum groupings gives noise
+        # proportional to the update magnitude (the proposal's distillation
+        # loss has 1/(bound+1e-7) terms that make its gradients steep); a
+        # broken psum or shard-keyed noise diverges at the update scale itself.
+        update_scale = float(np.abs(np.asarray(leaf1) - np.asarray(flat0[path])).max())
+        atol = 3e-5 + 2e-2 * update_scale
+        np.testing.assert_allclose(
+            np.asarray(leaf1), np.asarray(leaf8), rtol=1e-3, atol=atol,
+            err_msg=f"params diverge at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_make_mesh_raises_on_underprovision():
+    """A job configured for more devices than the backend has must fail loudly,
+    never silently fall back to host CPUs (VERDICT weak #7)."""
+    with pytest.raises(RuntimeError, match="refusing to under-provision"):
+        make_mesh(jax.device_count() + 1)
+    # Explicit fallback keeps working for hermetic dryruns.
+    mesh = make_mesh(8, allow_cpu_fallback=True)
+    assert mesh.devices.size == 8
 
 
 def test_shard_pipeline_config_divides():
