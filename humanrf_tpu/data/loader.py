@@ -194,6 +194,8 @@ class DataLoader:
         self.entry_inverse_krs = np.zeros((B, 3, 3), dtype=np.float32)
         self.entry_camera_origins = np.zeros((B, 3), dtype=np.float32)
         self.entry_grid_slots = np.zeros((B,), dtype=np.int32)
+        self._pool_version = 0
+        self._pool_cache = None
 
         self.occupancy_grid_resolution = 0
         self.device_grids = None
@@ -378,6 +380,7 @@ class DataLoader:
             self.entry_inverse_krs[buffer_index] = self.all_inverse_krs[camera_number]
             self.entry_camera_origins[buffer_index] = self.all_camera_origins[camera_number]
             self.entry_grid_slots[buffer_index] = grid_slot
+            self._pool_version += 1  # invalidates the cached device snapshot
         finally:
             if data_lock is not None:
                 data_lock.release()
@@ -406,15 +409,24 @@ class DataLoader:
 
     def pool_arrays(self) -> PoolArrays:
         """Snapshot of the per-entry metadata as device arrays. Called under
-        data_lock."""
-        return PoolArrays(
-            inverse_krs=jnp.asarray(self.entry_inverse_krs),
-            camera_origins=jnp.asarray(self.entry_camera_origins),
-            landscape=jnp.asarray(self.entry_landscape),
-            frame_numbers=jnp.asarray(self.entry_frame_numbers),
-            camera_numbers=jnp.asarray(self.entry_camera_numbers),
-            grid_slots=jnp.asarray(self.entry_grid_slots),
-        )
+        data_lock.
+
+        Cached per pool version: the replacer bumps `_pool_version` whenever it
+        rewrites an entry, so steps between replacements reuse the same device
+        arrays instead of re-shipping the whole pool metadata every step (the
+        analog of the reference's persistent CUDA-resident buffer tensors,
+        data_loader.py:261-309)."""
+        if self._pool_cache is None or self._pool_cache[0] != self._pool_version:
+            snapshot = PoolArrays(
+                inverse_krs=jnp.asarray(self.entry_inverse_krs),
+                camera_origins=jnp.asarray(self.entry_camera_origins),
+                landscape=jnp.asarray(self.entry_landscape),
+                frame_numbers=jnp.asarray(self.entry_frame_numbers),
+                camera_numbers=jnp.asarray(self.entry_camera_numbers),
+                grid_slots=jnp.asarray(self.entry_grid_slots),
+            )
+            self._pool_cache = (self._pool_version, snapshot)
+        return self._pool_cache[1]
 
     def __next__(self):
         """→ (HostBatch, PoolArrays, grids, BatchInfo)."""

@@ -101,3 +101,42 @@ def test_mlp_bias_free_and_widths():
     np.testing.assert_allclose(np.asarray(out), 0.0)  # bias-free ⇒ f(0) = 0
     out_sig = apply_mlp(params, jnp.zeros((8, 32)), output_activation="sigmoid")
     np.testing.assert_allclose(np.asarray(out_sig), 0.5)
+
+
+def test_query_io_entry_point():
+    """The reference-shaped QueryInput/QueryOutput API (query_io.py:6-20) must
+    dispatch to density (no directions) and forward (with directions)."""
+    from humanrf_tpu.models.humanrf import QueryInput
+
+    model = _model(cam_emb=2)
+    params = model.init_params(jax.random.PRNGKey(0))
+    n = 128
+    pos = jnp.zeros((n, 3))
+    frames = jnp.zeros((n,), dtype=jnp.int32)
+
+    out_d = model.query(params, QueryInput(positions=pos, frame_numbers=frames))
+    assert out_d.density.shape == (n,) and out_d.radiance is None
+    assert out_d.geometry_features.shape == (n, model.config.geometry_feature_dim)
+
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    cams = jnp.zeros((n,), dtype=jnp.int32)
+    out_f = model.query(
+        params, QueryInput(positions=pos, frame_numbers=frames, directions=dirs, camera_numbers=cams, is_training=True)
+    )
+    assert out_f.radiance.shape == (n, 3)
+    np.testing.assert_allclose(np.asarray(out_f.density), np.asarray(out_d.density), rtol=1e-6)
+
+
+def test_proposal_density_shapes_and_routing():
+    import dataclasses
+
+    base = _model(segment_sizes=(1, 1), frames=(0, 1))
+    model = HumanRFModel(dataclasses.replace(base.config, proposal_rank=4, proposal_resolution=16))
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert len(params["proposal"]) == 2
+    pos = jnp.zeros((64, 3))
+    sigma0 = model.proposal_density(params, pos, jnp.zeros(64, dtype=jnp.int32))
+    sigma1 = model.proposal_density(params, pos, jnp.ones(64, dtype=jnp.int32))
+    assert sigma0.shape == (64,) and bool(jnp.isfinite(sigma0).all())
+    # Different segments own independent factors → different densities.
+    assert not np.allclose(np.asarray(sigma0), np.asarray(sigma1))
