@@ -76,6 +76,7 @@ def main():
             proposal_samples_per_ray=int(os.environ.get("BENCH_KC", "64")),
             render_samples_per_ray=int(os.environ.get("BENCH_KF", "32")),
             space_pruning="occupancy",
+            march_grid_factor=int(os.environ.get("BENCH_MARCH", "2")),
         )
     else:
         # One-pass dense configuration: on TPU the gather-bound cost of the

@@ -76,14 +76,17 @@ def sample_intervals(
     # Stratified edge positions in CDF space, strictly inside (0, 1).
     pos = jnp.clip((j + offs - 0.5) / s, 1e-6, 1.0 - 1e-6)  # (R, S+1)
 
-    # Invert the piecewise-linear CDF: find the coarse bin of each variate…
-    find = jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="right") - 1)
-    bin_idx = jnp.clip(find(cdf, pos), 0, kp1 - 2)  # (R, S+1)
-    take = jax.vmap(jnp.take)
-    c0 = take(cdf, bin_idx)
-    c1 = take(cdf, bin_idx + 1)
-    e0 = take(edges, bin_idx)
-    e1 = take(edges, bin_idx + 1)
+    # Invert the piecewise-linear CDF. Gather-free: per-row binary search
+    # costs ~10 ns/gathered element on TPU (70 ms at bench shapes); a dense
+    # (R, S+1, K+1) compare-reduce is a few VPU passes (<10 ms) instead.
+    le = cdf[:, None, :] <= pos[:, :, None]                   # (R, S+1, K+1)
+    bin_idx = jnp.clip(le.sum(axis=-1) - 1, 0, kp1 - 2)      # searchsorted 'right' − 1
+    sel = bin_idx[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, kp1 - 1), 2)
+    pick = lambda row: (jnp.where(sel, row[:, None, :], 0.0)).sum(axis=-1)
+    c0 = pick(cdf[:, :-1])
+    c1 = pick(cdf[:, 1:])
+    e0 = pick(edges[:, :-1])
+    e1 = pick(edges[:, 1:])
     # …and lerp within it.
     frac = (pos - c0) / jnp.maximum(c1 - c0, 1e-12)
     t_edges = e0 + frac * (e1 - e0)  # (R, S+1), non-decreasing
@@ -105,21 +108,21 @@ def histogram_outer_mass(
     up to the linear interpolation within bins.
     """
     cum = jnp.concatenate([jnp.zeros_like(weights[:, :1]), jnp.cumsum(weights, axis=-1)], axis=-1)
+    kp1 = edges.shape[-1]
 
-    def interp_row(e, c, t):
-        idx = jnp.clip(jnp.searchsorted(e, t, side="right") - 1, 0, e.shape[0] - 2)
-        e0 = jnp.take(e, idx)
-        e1 = jnp.take(e, idx + 1)
-        c0 = jnp.take(c, idx)
-        c1 = jnp.take(c, idx + 1)
+    def cum_at(t):  # (R, S) query times → interpolated cumulative mass
+        le = edges[:, None, :] <= t[:, :, None]               # (R, S, K+1)
+        idx = jnp.clip(le.sum(axis=-1) - 1, 0, kp1 - 2)
+        sel = idx[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, kp1 - 1), 2)
+        pick = lambda row: (jnp.where(sel, row[:, None, :], 0.0)).sum(axis=-1)
+        e0, e1 = pick(edges[:, :-1]), pick(edges[:, 1:])
+        c0, c1 = pick(cum[:, :-1]), pick(cum[:, 1:])
         frac = jnp.clip((t - e0) / jnp.maximum(e1 - e0, 1e-12), 0.0, 1.0)
         below = c0 + frac * (c1 - c0)
-        # Clamp outside the edge range.
-        below = jnp.where(t <= e[0], 0.0, below)
-        return jnp.where(t >= e[-1], c[-1], below)
+        below = jnp.where(t <= edges[:, :1], 0.0, below)      # clamp outside range
+        return jnp.where(t >= edges[:, -1:], cum[:, -1:], below)
 
-    cum_at = jax.vmap(interp_row)
-    return jnp.maximum(cum_at(edges, cum, t1) - cum_at(edges, cum, t0), 0.0)
+    return jnp.maximum(cum_at(t1) - cum_at(t0), 0.0)
 
 
 def proposal_distillation_per_ray(

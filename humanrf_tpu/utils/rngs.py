@@ -19,14 +19,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _key_words(keys: jax.Array) -> jax.Array:
+    """(N,)-vector of typed keys or (N, 2) legacy uint32 keys → (N, 2) uint32."""
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(keys)
+    return keys
+
+
+def _bits_to_unit(bits: jax.Array) -> jax.Array:
+    """uint32 → float32 in [0, 1) using the top 24 bits."""
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
+
+
 def uniform_per_id(rng: jax.Array, ids: jax.Array, num: int = 1) -> jax.Array:
     """Uniform [0,1) draws keyed by integer identity.
 
     ids: (N,) int32 — any stable global identifier.
     Returns (N,) when num == 1, else (N, num). The result for a given
     (rng, id) pair is independent of the shape/order of `ids`.
+
+    num ≤ 2 (the hot path: ~1M per-sample jitter draws per step) reads the
+    fold_in output words directly — threefry's output IS the random bits, so
+    a second per-element threefry round for `uniform` would only double the
+    cost.
     """
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(rng, ids)
-    if num == 1:
-        return jax.vmap(lambda k: jax.random.uniform(k, ()))(keys)
+    if num <= 2:
+        words = _key_words(keys)
+        u = _bits_to_unit(words[..., :num])
+        return u[..., 0] if num == 1 else u
     return jax.vmap(lambda k: jax.random.uniform(k, (num,)))(keys)

@@ -152,3 +152,47 @@ def test_cli_data_parallel_8_devices(tmp_path):
     assert list((ws / "checkpoints").glob("step_*.ckpt"))
     txt = (ws / "validation.txt").read_text()
     assert "psnr=" in txt
+
+
+def test_cli_proposal_sampling_end_to_end(tmp_path):
+    """--tpu.sampling proposal: CP proposal field + importance resampling
+    through the full CLI (train -> validate -> checkpoint)."""
+    from humanrf_tpu.core.synthetic import SyntheticSceneConfig, generate_synthetic_dataset
+    from humanrf_tpu.run import main
+
+    root = tmp_path / "data"
+    generate_synthetic_dataset(
+        root, SyntheticSceneConfig(num_cameras=6, width=40, height=40, num_frames=2, grid_resolution=32)
+    )
+    ws = tmp_path / "ws"
+    main(
+        [
+            "--config", "example_synthetic",
+            "--dataset.path", str(root),
+            "--workspace", str(ws),
+            "--device", "cpu",
+            "--training.max_steps", "150",
+            "--training.rays_initial_batch_size", "512",
+            "--training.save_checkpoint_every_n_steps", "150",
+            "--validation.every_n_steps", "150",
+            "--validation.rays_batch_size", "512",
+            "--model.log2_hashmap_size", "12",
+            "--model.n_levels", "4",
+            "--model.finest_resolution", "128",
+            "--tpu.sampling", "proposal",
+            "--tpu.proposal_samples_per_ray", "32",
+            "--tpu.render_samples_per_ray", "16",
+            "--tpu.proposal_rank", "8",
+            "--tpu.proposal_resolution", "64",
+            "--dataset.max_buffer_size", "8",
+        ]
+    )
+    txt = (ws / "validation.txt").read_text()
+    psnrs = [
+        float(part.split("=")[1])
+        for line in txt.splitlines()
+        for part in line.split()
+        if part.startswith("psnr=")
+    ]
+    assert psnrs and max(psnrs) > 13.0, f"proposal-mode validation PSNR too low: {psnrs}"
+    assert list((ws / "checkpoints").glob("step_*.ckpt"))

@@ -126,7 +126,7 @@ def test_proposal_mode_trains_and_renders():
     assert np.isfinite(history[-1]).all()
     # Both the photometric fit and the distillation improve substantially.
     assert np.mean([m for m, _ in history[-10:]]) < 0.5 * history[0][0]
-    assert np.mean([p for _, p in history[-10:]]) < 0.1 * history[0][1]
+    assert np.mean([p for _, p in history[-10:]]) < 0.3 * history[0][1]
     # Every valid (AABB-hitting, light-ok) ray is supervised — no budget
     # truncation in proposal mode.
     from humanrf_tpu.train.pipeline import build_rays
