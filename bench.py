@@ -77,6 +77,9 @@ def main():
             render_samples_per_ray=int(os.environ.get("BENCH_KF", "32")),
             space_pruning="occupancy",
             march_grid_factor=int(os.environ.get("BENCH_MARCH", "2")),
+            # Ship 2× candidate pixels; compact hull-hitters into the render
+            # slots (the reference's ray compaction, static-shape form).
+            candidate_rays_factor=int(os.environ.get("BENCH_CAND_FACTOR", "2")),
         )
     else:
         # One-pass dense configuration: on TPU the gather-bound cost of the
@@ -134,11 +137,12 @@ def main():
     aabb = jnp.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]], dtype=jnp.float32)
 
     rng = np.random.default_rng(0)
+    num_cand = cfg.num_rays * cfg.candidate_rays_factor
     batch = HostBatch(
-        buffer_idx=jnp.asarray(rng.integers(0, num_pool, cfg.num_rays).astype(np.int32)),
-        pixel_idx=jnp.asarray(rng.integers(0, width * height, cfg.num_rays).astype(np.int32)),
-        rgba=jnp.asarray(rng.uniform(0, 1, (cfg.num_rays, 4)).astype(np.float32)),
-        ray_light_ok=jnp.ones(cfg.num_rays, dtype=bool),
+        buffer_idx=jnp.asarray(rng.integers(0, num_pool, num_cand).astype(np.int32)),
+        pixel_idx=jnp.asarray(rng.integers(0, width * height, num_cand).astype(np.int32)),
+        rgba=jnp.asarray(rng.uniform(0, 1, (num_cand, 4)).astype(np.float32)),
+        ray_light_ok=jnp.ones(num_cand, dtype=bool),
     )
 
     optimizer = make_optimizer(1e-2, 0.5, 50_001)

@@ -132,6 +132,11 @@ class _tpu_args:
     proposal_rank: int = 16
     proposal_resolution: int = 128
     proposal_loss_weight: float = 1.0
+    # Training-time candidate-ray oversampling: the loader ships
+    # factor × rays_initial_batch_size candidate pixels per step and the
+    # jitted step compacts hull-hitting rays into the render slots
+    # (train/pipeline.py:compact_rays). 1 disables.
+    candidate_rays_factor: int = 1
     # When set, capture a jax.profiler trace of training steps 20-24 into this
     # directory (view with TensorBoard's profile plugin).
     profile_dir: Optional[Path] = None

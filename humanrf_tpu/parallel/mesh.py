@@ -28,6 +28,7 @@ from humanrf_tpu.train.pipeline import (
     PoolArrays,
     build_rays,
     build_samples,
+    compact_rays,
     training_loss,
 )
 
@@ -98,9 +99,18 @@ def make_sharded_train_step(
         # these ids (utils/rngs.py) — the sharded step therefore computes the
         # SAME per-ray noise, loss, and gradients as the single-device step.
         shard = jax.lax.axis_index(AXIS)
-        ray_ids = shard * shard_cfg.num_rays + jnp.arange(shard_cfg.num_rays, dtype=jnp.int32)
+        num_candidates = shard_cfg.num_rays * shard_cfg.candidate_rays_factor
+        ray_ids = shard * num_candidates + jnp.arange(num_candidates, dtype=jnp.int32)
 
         rays = build_rays(shard_cfg, batch, pool, grids, aabb, width, height)
+        if shard_cfg.candidate_rays_factor > 1:
+            # Each shard compacts its own candidate block into its render
+            # slots — per-shard dynamic batching, like the reference's
+            # per-process compaction. Noise stays keyed to the global
+            # candidate identity, so a ray draws the same jitter on any mesh;
+            # WHICH rays fill the slots depends on the per-shard candidate
+            # layout (unlike factor=1, which is bit-identical to 1 device).
+            rays, batch, ray_ids = compact_rays(rays, batch, ray_ids, shard_cfg.num_rays)
         samples = None
         if shard_cfg.sampling != "proposal":
             samples = build_samples(shard_cfg, rays, pool, grids, batch.buffer_idx)

@@ -34,6 +34,7 @@ def build_pipeline_config(config):
         proposal_samples_per_ray=config.tpu.proposal_samples_per_ray,
         render_samples_per_ray=config.tpu.render_samples_per_ray,
         proposal_loss_weight=config.tpu.proposal_loss_weight,
+        candidate_rays_factor=config.tpu.candidate_rays_factor,
     )
 
 
@@ -150,7 +151,7 @@ def main(argv=None) -> None:
             mode=DataLoader.Mode.TRAINING,
             dataloader_output_mode=DataLoader.OutputMode.RAYS_AND_SAMPLES,
             space_pruning_mode=DataLoader.SpacePruningMode.OCCUPANCY_GRID,
-            batch_size=config.training.rays_initial_batch_size,
+            batch_size=config.training.rays_initial_batch_size * config.tpu.candidate_rays_factor,
             camera_numbers=camera_configs[config.training.camera_preset],
             frame_numbers=frame_numbers,
             max_buffer_size=config.dataset.max_buffer_size,

@@ -78,6 +78,14 @@ class PipelineConfig:
     proposal_samples_per_ray: int = 64
     render_samples_per_ray: int = 32
     proposal_loss_weight: float = 1.0
+    # Static candidate-ray compaction: the host ships `factor × num_rays`
+    # candidate pixels; after the (cheap) occupancy march, hull-hitting rays
+    # are compacted into the `num_rays` render slots. The static-shape analog
+    # of the reference's ray-mask compaction (`ray_sampler.cu:258-260`) —
+    # without it, ~half the field compute is spent on rays that miss the
+    # occupancy hull and contribute nothing to the loss. Training-only;
+    # validation/test render every pixel.
+    candidate_rays_factor: int = 1
     # Zero the proposal density outside the occupancy hull (instant
     # concentration, same role as the reference's per-sample occupancy filter).
     proposal_use_occupancy: bool = True
@@ -149,6 +157,22 @@ def build_rays(
         frame_numbers=jnp.take(pool.frame_numbers, image_number),
         camera_numbers=jnp.take(pool.camera_numbers, image_number),
     )
+
+
+def compact_rays(rays: RayData, batch: HostBatch, ray_ids: jax.Array, num_out: int):
+    """Compact hull-hitting candidate rays into `num_out` static slots.
+
+    Valid rays first, original order preserved (stable sort), so as long as at
+    least `num_out` candidates hit the hull every render slot is supervised.
+    `ray_ids` (global candidate identities) travel with their rays, so all
+    identity-keyed noise (utils/rngs.py) is invariant to the compaction — a
+    ray draws the same jitter whether or not compaction moved it.
+    """
+    order = jnp.argsort(jnp.where(rays.valid, 0, 1).astype(jnp.int32), stable=True)[:num_out]
+    take = lambda x: jnp.take(x, order, axis=0)
+    rays = RayData(*(take(f) for f in rays))
+    batch = HostBatch(*(take(f) for f in batch))
+    return rays, batch, take(ray_ids)
 
 
 def build_samples(
@@ -381,17 +405,26 @@ def training_loss(
 
 
 def make_train_step(cfg: PipelineConfig, model: HumanRFModel, optimizer, width: int, height: int):
-    """Returns train_step(params, opt_state, batch, pool, grids, aabb, rng)."""
+    """Returns train_step(params, opt_state, batch, pool, grids, aabb, rng).
+
+    `batch` leaves carry ``num_rays × candidate_rays_factor`` candidate rays;
+    after the occupancy march the valid ones are compacted into the `num_rays`
+    render slots (see `compact_rays`)."""
 
     def step(params, opt_state, batch: HostBatch, pool: PoolArrays, grids, aabb, rng):
         rays = build_rays(cfg, batch, pool, grids, aabb, width, height)
+        ray_ids = None
+        if cfg.candidate_rays_factor > 1:
+            num_candidates = cfg.num_rays * cfg.candidate_rays_factor
+            ray_ids = jnp.arange(num_candidates, dtype=jnp.int32)
+            rays, batch, ray_ids = compact_rays(rays, batch, ray_ids, cfg.num_rays)
         samples = None
         if cfg.sampling != "proposal":
             samples = build_samples(cfg, rays, pool, grids, batch.buffer_idx)
 
         def loss_fn(p):
             return training_loss(
-                cfg, model, p, rays, samples, batch.rgba, rng,
+                cfg, model, p, rays, samples, batch.rgba, rng, ray_ids=ray_ids,
                 pool=pool, grids=grids, buffer_idx=batch.buffer_idx,
             )
 

@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Quality-at-capacity sweep: does the TPU-native gather-free field match the
+reference-capacity gather field on a scene with high-frequency detail?
+
+Runs the real CLI (python -m humanrf_tpu.run) per configuration on a shared
+synthetic scene with high-frequency texture + thin rods (core/synthetic.py
+detail controls), then tabulates the final validation PSNR/SSIM.
+
+Capacity accounting: per-segment hashmap scaling is
+round(log2(segment_size / 100 * 2^log2_hashmap_size)) (models/humanrf.py:113),
+so with the 2-frame scene (one segment of size 2, scale factor 2/100 →
+−5.64 doublings):
+    log2=24 → 2^18 tables   (the reference example_humanrf capacity)
+    log2=17 → 2^11 = 2048   (the benched one-hot flagship)
+    log2=16 → 2^10 = 1024   (the next construction-bandwidth lever)
+
+Usage: python scripts/quality_at_capacity.py [--steps 2000] [--out PERF_sweep.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CONFIGS = {
+    # name: (field_backend, log2_hashmap, n_levels, n_features)
+    "gather-2^18-L16F2": ("gather", 24, 16, 2),
+    "onehot-2048-L16F2": ("onehot", 17, 16, 2),
+    "onehot-2048-L8F4": ("onehot", 17, 8, 4),   # the benched flagship
+    "onehot-1024-L8F4": ("onehot", 16, 8, 4),
+}
+
+
+def make_scene(root: Path) -> None:
+    from humanrf_tpu.core.synthetic import SyntheticSceneConfig, generate_synthetic_dataset
+
+    cfg = SyntheticSceneConfig(
+        num_cameras=12,
+        width=192,
+        height=192,
+        num_frames=2,
+        sphere_radius=0.3,
+        center_start=(0.0, 0.0, -0.03),
+        center_end=(0.0, 0.0, 0.03),
+        grid_resolution=128,
+        texture_frequency=30.0,  # high-frequency surface detail
+        num_rods=12,             # thin sub-voxel structures
+        rod_radius=0.015,
+        rod_length=0.25,
+    )
+    generate_synthetic_dataset(root, cfg)
+
+
+def run_config(name: str, scene: Path, work: Path, steps: int, extra: list[str]) -> dict:
+    backend, log2, levels, feats = CONFIGS[name]
+    ws = work / name
+    cmd = [
+        sys.executable, "-m", "humanrf_tpu.run",
+        "--config", "example_synthetic",
+        "--dataset.path", str(scene),
+        "--workspace", str(ws),
+        "--model.log2_hashmap_size", str(log2),
+        "--model.n_levels", str(levels),
+        "--model.n_features_per_level", str(feats),
+        "--model.finest_resolution", "2048",
+        "--tpu.field_backend", backend,
+        "--tpu.sampling", "proposal",
+        "--tpu.proposal_samples_per_ray", "32",
+        "--tpu.render_samples_per_ray", "16",
+        "--tpu.candidate_rays_factor", "2",
+        "--training.max_steps", str(steps),
+        "--training.rays_initial_batch_size", "4096",
+        "--training.save_checkpoint_every_n_steps", str(steps - 1),
+        "--validation.every_n_steps", str(steps - 1),
+        "--validation.rays_batch_size", "16384",
+    ] + extra
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    elapsed = time.time() - t0
+    result = {"name": name, "wall_s": round(elapsed, 1), "rc": proc.returncode}
+    if proc.returncode != 0:
+        result["tail"] = proc.stdout[-1500:] + proc.stderr[-1500:]
+        return result
+
+    # Last validation block's per-image metrics, averaged.
+    txt = (ws / "validation.txt").read_text()
+    blocks = txt.split("Step: ")
+    lines = blocks[-1].splitlines()[1:]
+    psnr = [float(m.group(1)) for ln in lines if (m := re.search(r"psnr=([\d.]+)", ln))]
+    ssim = [float(m.group(1)) for ln in lines if (m := re.search(r"ssim=([\d.]+)", ln))]
+    result["psnr"] = round(sum(psnr) / max(len(psnr), 1), 3)
+    result["ssim"] = round(sum(ssim) / max(len(ssim), 1), 4)
+    result["n_val_images"] = len(psnr)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--root", type=Path, default=Path("/tmp/quality_sweep"))
+    ap.add_argument("--out", type=Path, default=Path("/tmp/quality_sweep/results.json"))
+    ap.add_argument("--only", nargs="*", default=None, help="subset of config names")
+    ap.add_argument("--extra", nargs="*", default=[], help="extra CLI flags passed through")
+    args = ap.parse_args()
+
+    scene = args.root / "scene"
+    if not (scene / "SynthActor").exists():
+        print("# generating scene ...", flush=True)
+        make_scene(scene)
+
+    results = []
+    for name in args.only or CONFIGS:
+        print(f"# running {name} ({args.steps} steps) ...", flush=True)
+        r = run_config(name, scene, args.root / "runs", args.steps, args.extra)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+        args.out.parent.mkdir(parents=True, exist_ok=True)
+        args.out.write_text(json.dumps(results, indent=2))
+
+    print("\n| config | PSNR | SSIM | wall |")
+    print("|---|---|---|---|")
+    for r in results:
+        print(f"| {r['name']} | {r.get('psnr', 'FAIL')} | {r.get('ssim', '-')} | {r['wall_s']}s |")
+
+
+if __name__ == "__main__":
+    main()
