@@ -1,14 +1,13 @@
 // Alembic (.abc) animated mesh -> per-frame Frame%06d.obj extractor.
 //
 // Native (host C++) equivalent of the reference tool
-// (/root/reference/actorshq/toolbox/mesh_tools/alembic_extractor/main.cpp): walk
-// the archive, sample every IPolyMesh at each frame, write OBJ files with
-// async writers.
-//
-// Requires the Alembic SDK (not vendored in this environment): the CMake build
-// skips this target when find_package(Alembic) fails; the mesh_renderer
-// consumes OBJ sequences directly.
+// (/root/reference/actorshq/toolbox/mesh_tools/alembic_extractor/main.cpp):
+// walk the archive, sample every PolyMesh at each frame, write OBJ files with
+// async writers. The reference builds the whole Alembic SDK as a submodule;
+// this tool instead reads the Ogawa/PolyMesh subset directly (abc_ogawa.hpp)
+// and therefore builds everywhere with a bare C++17 toolchain.
 
+#include <cstdio>
 #include <filesystem>
 #include <fstream>
 #include <future>
@@ -17,40 +16,24 @@
 #include <string>
 #include <vector>
 
-#include <Alembic/Abc/All.h>
-#include <Alembic/AbcCoreOgawa/All.h>
-#include <Alembic/AbcGeom/All.h>
+#include "abc_ogawa.hpp"
 
 namespace fs = std::filesystem;
-using namespace Alembic::AbcGeom;
 
-static void find_poly_meshes(const IObject& obj, std::vector<IPolyMesh>& out) {
-    for (size_t i = 0; i < obj.getNumChildren(); ++i) {
-        IObject child(obj, obj.getChildHeader(i).getName());
-        if (IPolyMesh::matches(child.getHeader())) {
-            out.emplace_back(child, kWrapExisting);
-        }
-        find_poly_meshes(child, out);
-    }
-}
-
-static std::string mesh_to_obj(const IPolyMeshSchema::Sample& sample) {
+static std::string mesh_to_obj(const std::vector<float>& positions,
+                               const std::vector<int32_t>& counts,
+                               const std::vector<int32_t>& indices) {
     std::ostringstream os;
-    P3fArraySamplePtr positions = sample.getPositions();
-    Int32ArraySamplePtr counts = sample.getFaceCounts();
-    Int32ArraySamplePtr indices = sample.getFaceIndices();
-
-    for (size_t i = 0; i < positions->size(); ++i) {
-        const auto& p = (*positions)[i];
-        os << "v " << p.x << " " << p.y << " " << p.z << "\n";
+    for (size_t i = 0; i + 2 < positions.size(); i += 3) {
+        os << "v " << positions[i] << " " << positions[i + 1] << " " << positions[i + 2] << "\n";
     }
     size_t offset = 0;
-    for (size_t f = 0; f < counts->size(); ++f) {
-        const int n = (*counts)[f];
+    for (size_t f = 0; f < counts.size(); ++f) {
+        const int n = counts[f];
         os << "f";
         // Alembic winds faces clockwise; OBJ expects counter-clockwise.
         for (int k = n - 1; k >= 0; --k) {
-            os << " " << ((*indices)[offset + k] + 1);
+            os << " " << (indices[offset + k] + 1);
         }
         os << "\n";
         offset += n;
@@ -59,25 +42,25 @@ static std::string mesh_to_obj(const IPolyMeshSchema::Sample& sample) {
 }
 
 int convert_alembic_to_objs(const fs::path& abc_path, const fs::path& out_dir) {
-    IArchive archive(Alembic::AbcCoreOgawa::ReadArchive(), abc_path.string());
-    std::vector<IPolyMesh> meshes;
-    find_poly_meshes(archive.getTop(), meshes);
+    abclite::Archive archive(abc_path.string());
+    std::vector<abclite::PolyMesh> meshes;
+    abclite::find_poly_meshes(archive.top, meshes);
     if (meshes.empty()) {
-        std::cerr << "no IPolyMesh found in " << abc_path << "\n";
+        std::cerr << "no PolyMesh found in " << abc_path << "\n";
         return 1;
     }
-    IPolyMeshSchema& schema = meshes.front().getSchema();
-    const size_t num_samples = schema.getNumSamples();
-    std::cout << "Extracting " << num_samples << " frames from " << abc_path << "\n";
+    const abclite::PolyMesh& mesh = meshes.front();
+    const uint32_t num_samples = mesh.num_samples();
+    std::cout << "Extracting " << num_samples << " frames from " << abc_path << " (mesh '"
+              << mesh.name << "')\n";
 
     fs::create_directories(out_dir);
     std::vector<std::future<void>> writers;
-    for (size_t i = 0; i < num_samples; ++i) {
-        IPolyMeshSchema::Sample sample;
-        schema.get(sample, ISampleSelector(static_cast<index_t>(i)));
-        std::string obj = mesh_to_obj(sample);
+    for (uint32_t i = 0; i < num_samples; ++i) {
+        std::string obj = mesh_to_obj(mesh.positions_at(i), mesh.ints_at(*mesh.face_counts, i),
+                                      mesh.ints_at(*mesh.face_indices, i));
         char name[32];
-        std::snprintf(name, sizeof(name), "Frame%06zu.obj", i);
+        std::snprintf(name, sizeof(name), "Frame%06u.obj", i);
         fs::path out_path = out_dir / name;
         writers.emplace_back(std::async(std::launch::async, [out_path, obj = std::move(obj)]() {
             std::ofstream f(out_path);
@@ -103,5 +86,10 @@ int main(int argc, char** argv) {
         std::cerr << "usage: alembic_extractor --alembic mesh.abc --output <dir>\n";
         return 2;
     }
-    return convert_alembic_to_objs(alembic_file, output_directory);
+    try {
+        return convert_alembic_to_objs(alembic_file, output_directory);
+    } catch (const std::exception& e) {
+        std::cerr << "error: " << e.what() << "\n";
+        return 1;
+    }
 }
