@@ -117,6 +117,11 @@ class _tpu_args:
     use_visibility_prune: bool = True
     # Number of data-parallel devices (mesh axis 'data'); 0 → all local devices.
     num_devices: int = 1
+    # Parameter placement on the mesh: "replicated" (shard_map DP — compute
+    # scaling) or "fsdp" (segment hash tables + Adam moments sharded on the
+    # table axis — memory scaling for long sequences, parallel/fsdp.py; the
+    # TPU answer to the reference's CPU paging of inactive segments).
+    param_sharding: str = "replicated"
     # Synthetic-dataset camera presets (tests / hermetic runs) instead of the
     # frozen ActorsHQ splits.
     synthetic_presets: bool = False

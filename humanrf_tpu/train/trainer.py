@@ -46,8 +46,18 @@ def make_lr_schedule(lr: float, lr_decay: float, max_steps: int):
 
 
 def make_optimizer(lr: float, lr_decay: float, max_steps: int) -> optax.GradientTransformation:
-    """Adam(β=0.9/0.99, eps=1e-15) (run.py:101)."""
-    return optax.adam(make_lr_schedule(lr, lr_decay, max_steps), b1=0.9, b2=0.99, eps=1e-15)
+    """Adam(β=0.9/0.99, eps=1e-15) (run.py:101), with non-finite-update skipping.
+
+    The reference trains under `torch.cuda.amp.GradScaler`, whose `step()`
+    SKIPS the optimizer update whenever the gradients contain inf/NaN
+    (trainer.py:250-252) — that skip is load-bearing: one overflowing batch
+    (e.g. fp32 `exp` overflow in the density head on an unlucky sample) must
+    not poison the parameters. bf16 needs no loss *scaling*, but it needs the
+    same skip semantics; `apply_if_finite` is exactly that. 100 consecutive
+    non-finite steps raise instead of spinning forever.
+    """
+    inner = optax.adam(make_lr_schedule(lr, lr_decay, max_steps), b1=0.9, b2=0.99, eps=1e-15)
+    return optax.apply_if_finite(inner, max_consecutive_errors=100)
 
 
 class Trainer:
@@ -83,7 +93,20 @@ class Trainer:
 
         self.train_step_fn = None
         if optimizer is not None:
-            if mesh is not None and mesh.devices.size > 1:
+            param_sharding = getattr(getattr(config, "tpu", None), "param_sharding", "replicated")
+            if mesh is not None and mesh.devices.size > 1 and param_sharding == "fsdp":
+                from humanrf_tpu.parallel.fsdp import make_fsdp_train_step
+
+                self._log_info(
+                    f"FSDP training over {mesh.devices.size} devices: segment tables "
+                    "(and Adam moments) sharded on the table axis, rays data-parallel"
+                )
+                self.train_step_fn, init_state = make_fsdp_train_step(
+                    self.pcfg, model, optimizer, width, height, mesh
+                )
+                self.params, self.opt_state = init_state(self.params)
+                self._fsdp_init_state = init_state
+            elif mesh is not None and mesh.devices.size > 1:
                 from humanrf_tpu.parallel.mesh import make_sharded_train_step
 
                 self._log_info(f"data-parallel training over {mesh.devices.size} devices")
@@ -443,6 +466,14 @@ class Trainer:
         self._log_info(f"Loading the checkpoint from {path} ...")
         params, opt_state, step, val_step, stats = load_checkpoint(path, self.params, self.opt_state)
         self.params = params
+        if getattr(self, "_fsdp_init_state", None) is not None:
+            # Re-commit loaded (host) arrays with the FSDP table shardings; the
+            # optimizer moments are re-placed below via the same sharding rule.
+            self.params, fresh_opt = self._fsdp_init_state(self.params)
+            if opt_state is not None:
+                opt_state = jax.device_put(
+                    opt_state, jax.tree_util.tree_map(lambda x: x.sharding, fresh_opt)
+                )
         if not full_state:
             self._log_info(f"The model is loaded at step {self.step}")
             return

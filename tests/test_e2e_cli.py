@@ -196,3 +196,44 @@ def test_cli_proposal_sampling_end_to_end(tmp_path):
     ]
     assert psnrs and max(psnrs) > 13.0, f"proposal-mode validation PSNR too low: {psnrs}"
     assert list((ws / "checkpoints").glob("step_*.ckpt"))
+
+
+def test_cli_fsdp_param_sharding(tmp_path):
+    """--tpu.param_sharding fsdp: segment tables sharded over the 8-device
+    mesh, rays data-parallel, full CLI train -> validate -> checkpoint ->
+    resume (checkpoint reload must re-commit the FSDP shardings)."""
+    from humanrf_tpu.core.synthetic import SyntheticSceneConfig, generate_synthetic_dataset
+    from humanrf_tpu.run import main
+
+    root = tmp_path / "data"
+    generate_synthetic_dataset(
+        root, SyntheticSceneConfig(num_cameras=6, width=40, height=40, num_frames=2, grid_resolution=32)
+    )
+    ws = tmp_path / "ws"
+    args = [
+        "--config", "example_synthetic",
+        "--dataset.path", str(root),
+        "--workspace", str(ws),
+        "--device", "cpu",
+        "--tpu.num_devices", "8",
+        "--tpu.param_sharding", "fsdp",
+        "--training.max_steps", "24",
+        "--training.rays_initial_batch_size", "512",
+        "--training.samples_max_batch_size", "16_384",
+        "--training.save_checkpoint_every_n_steps", "12",
+        "--validation.every_n_steps", "24",
+        "--validation.rays_batch_size", "512",
+        # 2-frame segment scaling: log2=16 -> T=1024 (shardable by 8).
+        "--model.log2_hashmap_size", "16",
+        "--model.n_levels", "4",
+        "--model.finest_resolution", "128",
+        "--tpu.samples_per_ray", "256",
+        "--tpu.candidate_budget", "32_768",
+        "--dataset.max_buffer_size", "8",
+    ]
+    main(args)
+    assert list((ws / "checkpoints").glob("step_*.ckpt"))
+    assert "psnr=" in (ws / "validation.txt").read_text()
+
+    # Resume from the rolling checkpoint through the FSDP re-placement path.
+    main(args + ["--training.checkpoint", "latest", "--training.max_steps", "28"])

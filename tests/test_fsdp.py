@@ -1,0 +1,110 @@
+"""FSDP-style segment-table sharding (parallel/fsdp.py): the pjit'd step on
+sharded tables must reproduce the single-device step exactly, with table
+params (and Adam moments) actually partitioned over the mesh."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from humanrf_tpu.models.humanrf import HumanRFModel
+from humanrf_tpu.parallel.fsdp import make_fsdp_train_step, param_shardings, place_params
+from humanrf_tpu.parallel.mesh import make_mesh
+from humanrf_tpu.train.pipeline import make_train_step
+
+from test_parallel import _tiny_setup
+
+
+def _table_spec(x):
+    return x.sharding.spec if hasattr(x, "sharding") else None
+
+
+def _sharded_size_setup(**model_overrides):
+    """_tiny_setup with tables big enough to shard: the 2-frame segment scales
+    the hashmap by 2/100 (humanrf.py:113), so log2=14 -> T=256 (divides 8)."""
+    model, params, cfg, pool, grids, aabb, batch = _tiny_setup()
+    model = HumanRFModel(
+        dataclasses.replace(model.config, log2_hashmap_size=14, **model_overrides)
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params, cfg, pool, grids, aabb, batch
+
+
+@pytest.mark.parametrize("mode", ["dense", "proposal"])
+def test_fsdp_matches_single_device(mode):
+    if mode == "proposal":
+        model, params, cfg, pool, grids, aabb, batch = _sharded_size_setup(
+            proposal_rank=8, proposal_resolution=32
+        )
+        cfg = dataclasses.replace(
+            cfg, sampling="proposal", proposal_samples_per_ray=32, render_samples_per_ray=16
+        )
+    else:
+        model, params, cfg, pool, grids, aabb, batch = _sharded_size_setup()
+    opt = optax.sgd(1e-2)
+    mesh = make_mesh(8)
+
+    single = make_train_step(cfg, model, opt, 16, 16)
+    p1, _, loss1, aux1 = single(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params), batch, pool, grids, aabb, jax.random.PRNGKey(0)
+    )
+
+    step, init_state = make_fsdp_train_step(cfg, model, opt, 16, 16, mesh)
+    placed, opt_state = init_state(jax.tree_util.tree_map(jnp.copy, params))
+    # Tables really are sharded on the table axis (params AND Adam moments).
+    assert placed["segments"][0]["xyz"].sharding.spec == P(None, None, "data")
+    p8, opt_state8, loss8, aux8 = step(placed, opt_state, batch, pool, grids, aabb, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    assert int(aux1["num_rays_supervised"]) == int(aux8["num_rays_supervised"])
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(p8))
+    for path, leaf1 in flat1:
+        np.testing.assert_allclose(
+            np.asarray(leaf1), np.asarray(flat8[path]), rtol=1e-4, atol=1e-6,
+            err_msg=f"params diverge at {jax.tree_util.keystr(path)}",
+        )
+    # The updated tables keep their sharded layout (no silent re-replication).
+    assert p8["segments"][0]["xyz"].sharding.spec == P(None, None, "data")
+
+
+def test_fsdp_adam_moments_inherit_sharding():
+    model, params, cfg, pool, grids, aabb, batch = _sharded_size_setup()
+    mesh = make_mesh(8)
+    opt = optax.adam(1e-3)
+    step, init_state = make_fsdp_train_step(cfg, model, opt, 16, 16, mesh)
+    placed, opt_state = init_state(params)
+    adam_state = opt_state[0] if isinstance(opt_state, tuple) else opt_state
+    mu_table = adam_state.mu["segments"][0]["xyz"]
+    assert mu_table.sharding.spec == P(None, None, "data")
+
+    # ...and the step's outputs keep the moment sharding (no silent gather).
+    _, opt_state2, loss, _ = step(placed, opt_state, batch, pool, grids, aabb, jax.random.PRNGKey(0))
+    adam2 = opt_state2[0] if isinstance(opt_state2, tuple) else opt_state2
+    assert adam2.mu["segments"][0]["xyz"].sharding.spec == P(None, None, "data")
+    assert np.isfinite(float(loss))
+
+
+def test_param_shardings_skip_indivisible_tables():
+    """A table whose size does not divide the mesh stays replicated instead of
+    failing (e.g. tiny segment-scaled tables on large meshes), and placement
+    round-trips values."""
+    mesh = make_mesh(8)
+
+    # _tiny_setup's 2-frame segment scales log2=8 down to T=4: indivisible.
+    model_s, params_s, *_ = _tiny_setup()
+    sh_small = param_shardings(model_s, params_s, mesh)
+    assert sh_small["segments"][0]["xyz"].spec == P()
+
+    model, params, cfg, *_ = _sharded_size_setup()  # T=256: sharded
+    sh = param_shardings(model, params, mesh)
+    assert sh["segments"][0]["xyz"].spec == P(None, None, "data")
+    assert sh["segments"][0]["vectors"].spec == P()
+
+    placed = place_params(model, params, mesh)
+    np.testing.assert_allclose(
+        np.asarray(placed["segments"][0]["xyz"]), np.asarray(params["segments"][0]["xyz"])
+    )
