@@ -53,8 +53,11 @@ def main():
             sorted_frame_numbers=tuple(range(num_frames)),
             segment_sizes=(num_frames,),
             log2_hashmap_size=int(os.environ.get("BENCH_LOG2_T", str(log2_hashmap))),
-            n_levels=int(os.environ.get("BENCH_LEVELS", "16")),
-            n_features_per_level=int(os.environ.get("BENCH_FEATURES", "2")),
+            # L8/F4: same 32 feature channels as the reference's L16/F2 but half
+            # the one-hot construction passes — quality-equal-or-better on the
+            # high-detail synthetic sweep (PERF.md quality table).
+            n_levels=int(os.environ.get("BENCH_LEVELS", "8")),
+            n_features_per_level=int(os.environ.get("BENCH_FEATURES", "4")),
             coarsest_resolution=32,
             finest_resolution=2048,
             camera_embedding_dim=2,
@@ -67,14 +70,15 @@ def main():
     n_params = model.num_params(params)
 
     if sampling == "proposal":
-        # Importance sampling: 64 coarse proposal bins (cheap CP field) → 32
+        # Importance sampling: 32 coarse proposal bins (cheap CP field) → 16
         # field samples/ray; supervised rays == valid rays, no budget
         # truncation (ops/resample.py).
         cfg = PipelineConfig(
             num_rays=num_rays,
             sampling="proposal",
-            proposal_samples_per_ray=int(os.environ.get("BENCH_KC", "64")),
-            render_samples_per_ray=int(os.environ.get("BENCH_KF", "32")),
+            proposal_samples_per_ray=int(os.environ.get("BENCH_KC", "32")),
+            render_samples_per_ray=int(os.environ.get("BENCH_KF", "16")),
+            proposal_mid_samples_per_ray=int(os.environ.get("BENCH_KM", "0")),
             space_pruning="occupancy",
             march_grid_factor=int(os.environ.get("BENCH_MARCH", "2")),
             # Ship 2× candidate pixels; compact hull-hitters into the render
@@ -145,7 +149,8 @@ def main():
         ray_light_ok=jnp.ones(num_cand, dtype=bool),
     )
 
-    optimizer = make_optimizer(1e-2, 0.5, 50_001)
+    # weight_decay matches the CLI default (PERF.md round-2b stability A/B).
+    optimizer = make_optimizer(1e-2, 0.5, 50_001, weight_decay=0.03)
     opt_state = optimizer.init(params)
     step = make_train_step(cfg, model, optimizer, width, height)
 

@@ -59,6 +59,13 @@ class _training_args:
     checkpoint: str = "latest"
     lr: float = 1e-2
     lr_decay: float = 0.5
+    # Decoupled AdamW weight decay (0 = reference-parity plain Adam). The
+    # restoring force for alpha-saturated regions whose rendering gradients
+    # are dead (see train/trainer.py:make_optimizer). Measured on 2k-step
+    # convergence runs (PERF.md round-2b A/B): without it val PSNR collapses
+    # after ~step 1000 (23.8 peak → 21.8); with 0.03 it is stable and best
+    # (26.3, still rising at the end).
+    weight_decay: float = 0.03
     rays_initial_batch_size: int = 8192
     samples_max_batch_size: int = 768_000
     bce_loss_weight: Optional[float] = 1e-3
@@ -134,6 +141,11 @@ class _tpu_args:
     sampling: str = "dense"
     proposal_samples_per_ray: int = 64
     render_samples_per_ray: int = 32
+    # Second proposal level (0 = single-level cascade): refined interval count
+    # for a second cheap-proposal evaluation before the render draw.
+    proposal_mid_samples_per_ray: int = 0
+    proposal_uniform_bonus: float = 5e-2
+    proposal_anti_collapse_weight: float = 0.0
     proposal_rank: int = 16
     proposal_resolution: int = 128
     proposal_loss_weight: float = 1.0

@@ -57,6 +57,7 @@ def sample_intervals(
     cdf: jax.Array,
     num_samples: int,
     u: jax.Array | None = None,
+    return_edges: bool = False,
 ):
     """Inverse-CDF draw of `num_samples` render intervals per ray.
 
@@ -64,7 +65,9 @@ def sample_intervals(
     ``u``: optional (R, num_samples+1) stratified variates for the interval
     edges (deterministic midpoints when None).
     Returns (t_mid (R, S), dt (R, S)) with dt the interval length — sorted and
-    non-overlapping by construction.
+    non-overlapping by construction. With ``return_edges`` also returns the
+    (R, S+1) interval edges, contiguous by construction — the bin lattice a
+    further proposal level refines (multi-level cascade, mip-NeRF 360 §3.3).
     """
     num_rays, kp1 = edges.shape
     s = num_samples
@@ -93,6 +96,8 @@ def sample_intervals(
 
     t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
     dt = t_edges[:, 1:] - t_edges[:, :-1]
+    if return_edges:
+        return t_mid, dt, t_edges
     return t_mid, dt
 
 
@@ -131,6 +136,7 @@ def proposal_distillation_per_ray(
     fine_t0: jax.Array,
     fine_t1: jax.Array,
     fine_weights: jax.Array,
+    anti_collapse_weight: float = 0.0,
 ) -> jax.Array:
     """mip-NeRF 360 interlevel loss, per ray: the proposal histogram must
     upper-bound the (stop-gradient) fine weights on every fine interval.
@@ -141,8 +147,19 @@ def proposal_distillation_per_ray(
     every term ≤ w_f ≤ 1 and the gradient w.r.t. the bound ≤ 2.)
     Gradients flow only into `prop_weights`. Callers mask + average (so the
     normalization can be psum'd exactly under data parallelism).
+
+    ``anti_collapse_weight`` adds the symmetric reverse term
+    ``relu(P − w_f)² / (P + eps)`` which pulls proposal mass DOWN where the
+    fine field carries none. The one-sided loss admits a stable wrong
+    equilibrium (proposal opaque at a phantom surface, fine samples trapped
+    there); the reverse term makes the proposal track the fine distribution
+    both ways so the sampler can escape (see PipelineConfig).
     """
     w_f = jax.lax.stop_gradient(fine_weights)
     bound = histogram_outer_mass(prop_edges, prop_weights, fine_t0, fine_t1)
     excess = jnp.maximum(w_f - bound, 0.0)
-    return (excess**2 / (w_f + 1e-7)).sum(axis=-1)
+    loss = (excess**2 / (w_f + 1e-7)).sum(axis=-1)
+    if anti_collapse_weight:
+        over = jnp.maximum(bound - w_f, 0.0)
+        loss = loss + anti_collapse_weight * (over**2 / (bound + 1e-7)).sum(axis=-1)
+    return loss

@@ -33,7 +33,10 @@ def build_pipeline_config(config):
         sampling=config.tpu.sampling,
         proposal_samples_per_ray=config.tpu.proposal_samples_per_ray,
         render_samples_per_ray=config.tpu.render_samples_per_ray,
+        proposal_mid_samples_per_ray=config.tpu.proposal_mid_samples_per_ray,
         proposal_loss_weight=config.tpu.proposal_loss_weight,
+        proposal_uniform_bonus=config.tpu.proposal_uniform_bonus,
+        proposal_anti_collapse_weight=config.tpu.proposal_anti_collapse_weight,
         candidate_rays_factor=config.tpu.candidate_rays_factor,
     )
 
@@ -182,7 +185,10 @@ def main(argv=None) -> None:
             seed=config.random_seed,
         )
 
-        optimizer = make_optimizer(config.training.lr, config.training.lr_decay, config.training.max_steps)
+        optimizer = make_optimizer(
+            config.training.lr, config.training.lr_decay, config.training.max_steps,
+            weight_decay=config.training.weight_decay,
+        )
         mesh = None
         if config.tpu.num_devices == 0 or config.tpu.num_devices > 1:
             from humanrf_tpu.parallel.mesh import make_mesh

@@ -77,7 +77,28 @@ class PipelineConfig:
     sampling: str = "dense"
     proposal_samples_per_ray: int = 64
     render_samples_per_ray: int = 32
+    # Second proposal level (0 = single-level): after the coarse CDF draw,
+    # re-evaluate the (cheap) proposal field on this many refined intervals
+    # and draw the render samples from THAT histogram instead. Concentrates
+    # the expensive field samples ~2× tighter, enabling small
+    # render_samples_per_ray (mip-NeRF 360's proposal cascade, §3.3 — the
+    # reference has no analog; its prune pass re-evaluates the full field).
+    proposal_mid_samples_per_ray: int = 0
     proposal_loss_weight: float = 1.0
+    # Exploration floor of the resampling CDF: fraction of fine samples drawn
+    # ~uniformly regardless of the proposal's opinion. The escape hatch from
+    # the saturated-proposal deadlock (a wrongly-opaque proposal sends no
+    # samples past its phantom surface, so no evidence against it is ever
+    # gathered; observed as rising train loss + collapsing val PSNR).
+    proposal_uniform_bonus: float = 5e-2
+    # Two-sided distillation: weight of the reverse term penalizing proposal
+    # mass where the fine field has none — relu(P − w_f)²/(P + eps). The
+    # mip-NeRF 360 interlevel loss is one-sided (bound ≥ fine), which leaves a
+    # stable wrong equilibrium: proposal opaque at the hull entry, fine mass
+    # forced there, bound satisfied, nothing ever pulls the proposal back.
+    # The reverse term makes the proposal TRACK fine mass, so when the
+    # photometric loss drains a phantom surface the sampler follows.
+    proposal_anti_collapse_weight: float = 0.0
     # Static candidate-ray compaction: the host ships `factor × num_rays`
     # candidate pixels; after the (cheap) occupancy march, hull-hitting rays
     # are compacted into the `num_rays` render slots. The static-shape analog
@@ -285,35 +306,53 @@ def proposal_render(
     """
     num_rays = cfg.num_rays
     k_coarse = cfg.proposal_samples_per_ray
+    k_mid = cfg.proposal_mid_samples_per_ray
     k_fine = cfg.render_samples_per_ray
     if ray_ids is None:
         ray_ids = jnp.arange(num_rays, dtype=jnp.int32)
 
-    u_coarse = u_fine = None
+    u_coarse = u_mid = u_fine = None
     if is_training and rng is not None:
-        rng_c, rng_f = jax.random.split(rng)
+        rng_c, rng_m, rng_f = jax.random.split(rng, 3)
         coarse_ids = ray_ids[:, None] * k_coarse + jnp.arange(k_coarse, dtype=jnp.int32)[None, :]
         u_coarse = uniform_per_id(rng_c, coarse_ids.reshape(-1)).reshape(num_rays, k_coarse)
+        if k_mid:
+            mid_ids = ray_ids[:, None] * (k_mid + 1) + jnp.arange(k_mid + 1, dtype=jnp.int32)[None, :]
+            u_mid = uniform_per_id(rng_m, mid_ids.reshape(-1)).reshape(num_rays, k_mid + 1)
         fine_ids = ray_ids[:, None] * (k_fine + 1) + jnp.arange(k_fine + 1, dtype=jnp.int32)[None, :]
         u_fine = uniform_per_id(rng_f, fine_ids.reshape(-1)).reshape(num_rays, k_fine + 1)
 
+    use_occ = cfg.proposal_use_occupancy and cfg.space_pruning == "occupancy"
+    grid_ids = jnp.take(pool.grid_slots, buffer_idx) if use_occ else None
+
+    def proposal_weights(t, dt):
+        """Evaluate the cheap proposal field on a (R, K) lattice → weights."""
+        k = t.shape[1]
+        pts = rays.origins[:, None, :] + rays.directions[:, None, :] * t[..., None]
+        sigma = model.proposal_density(
+            params, pts.reshape(-1, 3), jnp.repeat(rays.frame_numbers, k)
+        ).reshape(num_rays, k)
+        mask = jnp.broadcast_to(rays.valid[:, None], (num_rays, k))
+        if use_occ:
+            mask = mask & sample_occupancy(grids, grid_ids[:, None], pts + 0.5)
+        return render_weights_grid(sigma, dt, mask)
+
     # --- coarse pass (no gradient into sample positions) ----------------------
     t_c, dt_c, edges_c = stratified_bins(rays.tmin, rays.tmax, k_coarse, u_coarse)
-    pts_c = rays.origins[:, None, :] + rays.directions[:, None, :] * t_c[..., None]
-    frames_rep = jnp.repeat(rays.frame_numbers, k_coarse)
-    sigma_prop = model.proposal_density(
-        params, pts_c.reshape(-1, 3), frames_rep
-    ).reshape(num_rays, k_coarse)
-    coarse_mask = jnp.broadcast_to(rays.valid[:, None], (num_rays, k_coarse))
-    if cfg.proposal_use_occupancy and cfg.space_pruning == "occupancy":
-        grid_ids = jnp.take(pool.grid_slots, buffer_idx)
-        occ = sample_occupancy(grids, grid_ids[:, None], pts_c + 0.5)
-        coarse_mask = coarse_mask & occ
-    w_prop = render_weights_grid(sigma_prop, dt_c, coarse_mask)
+    w_prop = proposal_weights(t_c, dt_c)
 
     # Resampling uses the proposal PDF but must not backprop through it
     # (gradients reach the proposal only via the distillation loss).
-    cdf = weights_to_cdf(jax.lax.stop_gradient(w_prop))
+    cdf = weights_to_cdf(jax.lax.stop_gradient(w_prop), cfg.proposal_uniform_bonus)
+    levels = [(edges_c, w_prop)]
+    if k_mid:
+        # Second proposal level: refine the coarse draw with another (cheap)
+        # proposal evaluation before spending expensive field samples.
+        t_m, dt_m, edges_m = sample_intervals(edges_c, cdf, k_mid, u_mid, return_edges=True)
+        w_mid = proposal_weights(t_m, dt_m)
+        cdf = weights_to_cdf(jax.lax.stop_gradient(w_mid), cfg.proposal_uniform_bonus)
+        edges_c = edges_m
+        levels.append((edges_m, w_mid))
     t_f, dt_f = sample_intervals(edges_c, cdf, k_fine, u_fine)
 
     # --- fine (render) pass ----------------------------------------------------
@@ -332,11 +371,15 @@ def proposal_render(
     w_fine = render_weights_grid(density, dt_f, fine_mask)
     out = composite_grid(w_fine, radiance, background_rgb)
 
+    prop_loss = 0.0
+    for lvl_edges, lvl_weights in levels:
+        prop_loss = prop_loss + proposal_distillation_per_ray(
+            lvl_edges, lvl_weights, t_f - 0.5 * dt_f, t_f + 0.5 * dt_f, w_fine,
+            anti_collapse_weight=cfg.proposal_anti_collapse_weight,
+        )
     aux = {
         "num_samples": fine_mask.sum(),
-        "proposal_loss_per_ray": proposal_distillation_per_ray(
-            edges_c, w_prop, t_f - 0.5 * dt_f, t_f + 0.5 * dt_f, w_fine
-        ),
+        "proposal_loss_per_ray": prop_loss,
     }
     return out, aux
 

@@ -45,7 +45,9 @@ def make_lr_schedule(lr: float, lr_decay: float, max_steps: int):
     return schedule
 
 
-def make_optimizer(lr: float, lr_decay: float, max_steps: int) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float, lr_decay: float, max_steps: int, weight_decay: float = 0.0
+) -> optax.GradientTransformation:
     """Adam(β=0.9/0.99, eps=1e-15) (run.py:101), with non-finite-update skipping.
 
     The reference trains under `torch.cuda.amp.GradScaler`, whose `step()`
@@ -55,9 +57,26 @@ def make_optimizer(lr: float, lr_decay: float, max_steps: int) -> optax.Gradient
     not poison the parameters. bf16 needs no loss *scaling*, but it needs the
     same skip semantics; `apply_if_finite` is exactly that. 100 consecutive
     non-finite steps raise instead of spinning forever.
+
+    ``weight_decay`` (decoupled, AdamW-style, scaled by the lr schedule)
+    defaults to 0 for reference parity. It is the one restoring force that
+    still acts where volume-rendering gradients are dead: a region whose
+    density saturated alpha (σ·dt ≳ 17) gets exp(−σ·dt)-attenuated — i.e.
+    zero — gradients, so a wrongly-opaque floater can otherwise never be
+    drained. Decay shrinks it unconditionally; correctly-opaque geometry is
+    re-pushed by the photometric loss every step, floaters are not.
     """
-    inner = optax.adam(make_lr_schedule(lr, lr_decay, max_steps), b1=0.9, b2=0.99, eps=1e-15)
-    return optax.apply_if_finite(inner, max_consecutive_errors=100)
+    schedule = make_lr_schedule(lr, lr_decay, max_steps)
+    if weight_decay:
+        inner = optax.adamw(schedule, b1=0.9, b2=0.99, eps=1e-15, weight_decay=weight_decay)
+    else:
+        inner = optax.adam(schedule, b1=0.9, b2=0.99, eps=1e-15)
+    # NB apply_if_finite's max_consecutive_errors is a GIVE-UP threshold: once
+    # exceeded it applies the non-finite update anyway (observed poisoning
+    # every parameter at exactly skip-step 100+ before the density-head
+    # overflow clamp landed). A persistently-NaN regime should stall visibly,
+    # never poison — so the threshold is effectively infinite.
+    return optax.apply_if_finite(inner, max_consecutive_errors=10**9)
 
 
 class Trainer:

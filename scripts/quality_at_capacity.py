@@ -30,13 +30,19 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 CONFIGS = {
-    # name: (field_backend, log2_hashmap, n_levels, n_features)
+    # name: (field_backend, log2_hashmap, n_levels, n_features, extra_flags)
     # Cheap one-hot configs first; the reference-capacity gather run last
     # (it is ~10x slower — gathers cost ~10ns/element on TPU, PERF.md).
-    "onehot-2048-L8F4": ("onehot", 17, 8, 4),   # the benched flagship
-    "onehot-1024-L8F4": ("onehot", 16, 8, 4),
-    "onehot-2048-L16F2": ("onehot", 17, 16, 2),
-    "gather-2^18-L16F2": ("gather", 24, 16, 2),
+    "onehot-2048-L8F4": ("onehot", 17, 8, 4, []),   # the benched flagship
+    "onehot-1024-L8F4": ("onehot", 16, 8, 4, []),
+    "onehot-2048-L16F2": ("onehot", 17, 16, 2, []),
+    # Two-level proposal cascade: half the fine samples (Kf=8 via a second
+    # cheap-proposal refinement of 16 mids) — the next throughput lever.
+    "onehot-2048-L8F4-Kf8-cascade": (
+        "onehot", 17, 8, 4,
+        ["--tpu.proposal_mid_samples_per_ray", "16", "--tpu.render_samples_per_ray", "8"],
+    ),
+    "gather-2^18-L16F2": ("gather", 24, 16, 2, []),
 }
 
 
@@ -61,7 +67,8 @@ def make_scene(root: Path) -> None:
 
 
 def run_config(name: str, scene: Path, work: Path, steps: int, extra: list[str]) -> dict:
-    backend, log2, levels, feats = CONFIGS[name]
+    backend, log2, levels, feats, cfg_extra = CONFIGS[name]
+    extra = cfg_extra + extra
     ws = work / name
     cmd = [
         sys.executable, "-m", "humanrf_tpu.run",
@@ -121,7 +128,11 @@ def main():
     ap.add_argument("--root", type=Path, default=Path("/tmp/quality_sweep"))
     ap.add_argument("--out", type=Path, default=Path("/tmp/quality_sweep/results.json"))
     ap.add_argument("--only", nargs="*", default=None, help="subset of config names")
-    ap.add_argument("--extra", nargs="*", default=[], help="extra CLI flags passed through")
+    ap.add_argument(
+        "--extra", type=str, default="",
+        help="extra CLI flags passed through (single string, whitespace-split; "
+        "argparse cannot take ---prefixed tokens via nargs)",
+    )
     args = ap.parse_args()
 
     scene = args.root / "scene"
@@ -132,7 +143,7 @@ def main():
     results = []
     for name in args.only or CONFIGS:
         print(f"# running {name} ({args.steps} steps) ...", flush=True)
-        r = run_config(name, scene, args.root / "runs", args.steps, args.extra)
+        r = run_config(name, scene, args.root / "runs", args.steps, args.extra.split())
         print(json.dumps(r), flush=True)
         results.append(r)
         args.out.parent.mkdir(parents=True, exist_ok=True)

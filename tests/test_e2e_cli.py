@@ -104,7 +104,9 @@ def test_resume_from_latest(e2e_workspace, capsys):
             camera_embedding_dim=config.model.camera_embedding_dim,
         )
     )
-    optimizer = make_optimizer(1e-2, 0.5, 150)
+    # Must match the CLI's optimizer exactly — the checkpoint's opt_state tree
+    # embeds the optimizer structure (adamw's decay stage included).
+    optimizer = make_optimizer(1e-2, 0.5, 150, weight_decay=config.training.weight_decay)
     trainer = Trainer(
         config=config,
         workspace=e2e_workspace,

@@ -77,10 +77,18 @@ def test_segment_hashmap_scaling():
 
 
 def test_truncated_exp_gradient_clamp():
+    # Backward clamps the input to ±15 (reference activation.py:6-36).
     g = jax.grad(lambda x: truncated_exp(x))(20.0)
     assert np.isfinite(g) and g == pytest.approx(np.exp(15.0))
+    # Forward matches exp() throughout the responsive range...
+    v = truncated_exp(jnp.asarray(14.0))
+    assert v == pytest.approx(np.exp(14.0), rel=1e-5)
+    # ...and clamps at +16 (5 decades past alpha saturation) so a saturated
+    # logit stays fp32-finite and a few gradient steps from recovery
+    # (models/activation.py — the round-2b ratchet analysis).
     v = truncated_exp(jnp.asarray(20.0))
-    assert v == pytest.approx(np.exp(20.0), rel=1e-5)
+    assert v == pytest.approx(np.exp(16.0), rel=1e-5)
+    assert np.isfinite(float(truncated_exp(jnp.asarray(1e6))))
 
 
 def test_sh_encode_properties():

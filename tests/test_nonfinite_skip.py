@@ -37,6 +37,19 @@ def test_nonfinite_grads_skip_the_update():
         # sabotaged leaf) is exactly its input value, never NaN-poisoned.
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_bad[path]))
 
+    # A saturated density head (logit >> 88, which would overflow fp32 exp
+    # without truncated_exp's forward clamp) must yield a FINITE loss and
+    # finite gradients — a persistently-saturated field should keep training,
+    # not stall in a NaN regime (the observed 2k-step divergence mode).
+    hot = jax.tree_util.tree_map(jnp.copy, params)
+    hot["sigma_net"]["w0"] = hot["sigma_net"]["w0"] + 1e4
+    p_hot, _, loss_hot, _ = step(
+        jax.tree_util.tree_map(jnp.copy, hot), opt.init(hot), batch, pool, grids, aabb, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss_hot))
+    for leaf in jax.tree_util.tree_leaves(p_hot):
+        assert np.isfinite(np.asarray(leaf)).all()
+
     # Healthy batches still step normally through the same optimizer.
     p3, _, loss3, _ = step(
         jax.tree_util.tree_map(jnp.copy, params), opt.init(params), batch, pool, grids, aabb, jax.random.PRNGKey(0)
