@@ -152,40 +152,60 @@ def main():
     # weight_decay matches the CLI default (PERF.md round-2b stability A/B).
     optimizer = make_optimizer(1e-2, 0.5, 50_001, weight_decay=0.03)
     opt_state = optimizer.init(params)
-    step = make_train_step(cfg, model, optimizer, width, height)
+    raw_step = make_train_step(cfg, model, optimizer, width, height, jit=False)
+
+    # K training steps per dispatch (lax.scan): the benched quantity is the
+    # device's training throughput, not the dispatch path — through the axon
+    # relay a per-step Python loop can serialize on tunnel RTT (measured: the
+    # identical program swinging 37k -> 17k rays/s purely with relay health).
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    chunk = max(1, n_steps // 2)
+
+    def k_steps(params, opt_state, batch, pool, grids, aabb, rng):
+        def body(carry, i):
+            p, o, sup = carry
+            p, o, loss, aux = raw_step(p, o, batch, pool, grids, aabb, jax.random.fold_in(rng, i))
+            return (p, o, sup + aux["num_rays_supervised"]), (loss, aux["num_samples"])
+
+        (params, opt_state, supervised), (losses, n_samples) = jax.lax.scan(
+            body, (params, opt_state, jnp.zeros((), jnp.float32)), jnp.arange(chunk)
+        )
+        return params, opt_state, supervised, losses[-1], n_samples[-1]
+
+    k_steps = jax.jit(k_steps, donate_argnums=(0, 1))
 
     # Warmup / compile.
     t0 = time.time()
-    params, opt_state, loss, aux = step(params, opt_state, batch, pool, grids, aabb, jax.random.PRNGKey(1))
+    params, opt_state, supervised, loss, n_samples = k_steps(
+        params, opt_state, batch, pool, grids, aabb, jax.random.PRNGKey(1)
+    )
     jax.block_until_ready(loss)
     compile_s = time.time() - t0
     print(
-        f"# compile {compile_s:.1f}s params={n_params/1e6:.1f}M loss={float(loss):.5f} "
-        f"samples={int(aux['num_samples'])} rays_supervised={int(aux['num_rays_supervised'])} "
-        f"device={jax.devices()[0]}",
+        f"# compile(+{chunk} steps) {compile_s:.1f}s params={n_params/1e6:.1f}M "
+        f"loss={float(loss):.5f} samples={int(n_samples)} "
+        f"rays_supervised={float(supervised)/chunk:.0f}/step device={jax.devices()[0]}",
         file=sys.stderr,
     )
 
-    # Timed steps. Supervised-ray counts accumulate device-side (no per-step
-    # host sync); "supervised" = rays actually contributing to the loss — the
-    # honest apples-to-apples number vs the reference, whose dynamic batching
-    # only ever counts rays it supervises (trainer.py:139-163).
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    supervised_accum = jnp.zeros((), dtype=jnp.float32)
+    # Timed: dispatch scan-chunks until >= n_steps accumulate. "supervised" =
+    # rays actually contributing to the loss -- the honest apples-to-apples
+    # number vs the reference, whose dynamic batching only ever counts rays
+    # it supervises (trainer.py:139-163).
+    supervised_total = 0.0
+    done = 0
     t0 = time.time()
-    for i in range(n_steps):
-        params, opt_state, loss, aux = step(
-            params, opt_state, batch, pool, grids, aabb, jax.random.PRNGKey(2 + i)
+    while done < n_steps:
+        params, opt_state, supervised, loss, n_samples = k_steps(
+            params, opt_state, batch, pool, grids, aabb, jax.random.PRNGKey(2 + done)
         )
-        supervised_accum = supervised_accum + aux["num_rays_supervised"]
-        if i == 0:
-            jax.block_until_ready(loss)
-            print(f"# first timed step: {time.time()-t0:.2f}s", file=sys.stderr)
-    jax.block_until_ready(loss)
+        supervised_total += float(supervised)  # one host sync per chunk
+        done += chunk
     elapsed = time.time() - t0
+    n_steps = done
     nominal_rays_per_sec = cfg.num_rays * n_steps / elapsed
-    supervised_rays_per_sec = float(supervised_accum) / elapsed
-    samples_per_sec = float(aux["num_samples"]) * n_steps / elapsed
+    supervised_rays_per_sec = supervised_total / elapsed
+    samples_per_sec = float(n_samples) * n_steps / elapsed
     print(
         f"# {n_steps} steps in {elapsed:.2f}s → {n_steps/elapsed:.2f} it/s, "
         f"{nominal_rays_per_sec:.0f} nominal rays/s, {supervised_rays_per_sec:.0f} supervised rays/s, "

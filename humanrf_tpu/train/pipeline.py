@@ -447,12 +447,17 @@ def training_loss(
     return total, aux
 
 
-def make_train_step(cfg: PipelineConfig, model: HumanRFModel, optimizer, width: int, height: int):
+def make_train_step(
+    cfg: PipelineConfig, model: HumanRFModel, optimizer, width: int, height: int, jit: bool = True
+):
     """Returns train_step(params, opt_state, batch, pool, grids, aabb, rng).
 
     `batch` leaves carry ``num_rays × candidate_rays_factor`` candidate rays;
     after the occupancy march the valid ones are compacted into the `num_rays`
-    render slots (see `compact_rays`)."""
+    render slots (see `compact_rays`).
+
+    ``jit=False`` returns the raw traced function — for embedding the step in
+    a larger program (e.g. a `lax.scan` over steps, bench.py)."""
 
     def step(params, opt_state, batch: HostBatch, pool: PoolArrays, grids, aabb, rng):
         rays = build_rays(cfg, batch, pool, grids, aabb, width, height)
@@ -476,6 +481,8 @@ def make_train_step(cfg: PipelineConfig, model: HumanRFModel, optimizer, width: 
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss, aux
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0, 1))
 
 

@@ -37,6 +37,28 @@ def test_parse_args_config_module_injection():
     assert len(args.dataset.frame_numbers) == 50
 
 
+def test_example_humanrf_tpu_config_overrides_flagship_knobs():
+    """The TPU fast-path config layers the PERF.md flagship field/sampler on
+    top of example_humanrf's data/schedule/eval protocol."""
+    from humanrf_tpu.run import build_pipeline_config
+
+    args = parse_args(["--config", "example_humanrf_tpu"])
+    # Reference protocol inherited untouched.
+    assert args.training.max_steps == 50_001
+    assert args.dataset.actor == "Actor01"
+    assert args.model.temporal_partitioning == "adaptive"
+    # Flagship overrides applied (and still CLI-overridable).
+    assert (args.model.log2_hashmap_size, args.model.n_levels, args.model.n_features_per_level) == (12, 8, 4)
+    assert args.tpu.field_backend == "onehot" and args.tpu.sampling == "proposal"
+    pcfg = build_pipeline_config(args)
+    assert pcfg.sampling == "proposal"
+    assert pcfg.num_rays == 16_384 and pcfg.candidate_rays_factor == 2
+    assert (pcfg.proposal_samples_per_ray, pcfg.render_samples_per_ray) == (32, 16)
+
+    args2 = parse_args(["--config", "example_humanrf_tpu", "--tpu.render_samples_per_ray", "32"])
+    assert args2.tpu.render_samples_per_ray == 32
+
+
 def test_psnr_basic():
     gt = np.zeros((4, 4, 3), np.float32)
     pred = np.full((4, 4, 3), 0.1, np.float32)
