@@ -147,6 +147,10 @@ class _tpu_args:
     proposal_uniform_bonus: float = 5e-2
     proposal_anti_collapse_weight: float = 0.0
     proposal_rank: int = 16
+    # tmin/tmax march grid coarsening factor (ops/occupancy.py): the march
+    # runs on a conservatively max-pooled (factor x coarser) grid; the
+    # per-sample filter / proposal occupancy masking stays full-res.
+    march_grid_factor: int = 2
     proposal_resolution: int = 128
     proposal_loss_weight: float = 1.0
     # Training-time candidate-ray oversampling: the loader ships

@@ -28,6 +28,7 @@ def build_pipeline_config(config):
         candidate_budget=candidate,
         sample_budget=config.training.samples_max_batch_size,
         space_pruning="occupancy",
+        march_grid_factor=config.tpu.march_grid_factor,
         use_visibility_prune=config.tpu.use_visibility_prune,
         bce_loss_weight=config.training.bce_loss_weight,
         sampling=config.tpu.sampling,
