@@ -62,7 +62,7 @@ def main():
             finest_resolution=2048,
             camera_embedding_dim=2,
             field_backend=backend,
-            proposal_rank=16 if sampling == "proposal" else 0,
+            proposal_rank=int(os.environ.get("BENCH_RANK", "32")) if sampling == "proposal" else 0,
             proposal_resolution=128,
         )
     )
