@@ -173,9 +173,16 @@ def test_cli_proposal_sampling_end_to_end(tmp_path):
             "--dataset.path", str(root),
             "--workspace", str(ws),
             "--device", "cpu",
-            "--training.max_steps", "150",
-            "--training.rays_initial_batch_size", "512",
-            "--training.save_checkpoint_every_n_steps", "150",
+            # 300 steps / 1024 rays / bonus 0.1: the reference-parity BCE
+            # gradient spends the first ~120 steps building density fog
+            # before the photometric carves it, and at 512 rays the
+            # gradient noise let ~1/3 of runs lock into a phantom surface
+            # (loader thread timing is racy by design, so runs differ).
+            # Measured over 7 runs (plain + pytest-env): peaks 14.5-24.7;
+            # the phantom-surface divergence mode (steady ~9 dB) is gone.
+            "--training.max_steps", "300",
+            "--training.rays_initial_batch_size", "1024",
+            "--training.save_checkpoint_every_n_steps", "300",
             "--validation.every_n_steps", "150",
             "--validation.rays_batch_size", "512",
             "--model.log2_hashmap_size", "12",
@@ -186,6 +193,7 @@ def test_cli_proposal_sampling_end_to_end(tmp_path):
             "--tpu.render_samples_per_ray", "16",
             "--tpu.proposal_rank", "8",
             "--tpu.proposal_resolution", "64",
+            "--tpu.proposal_uniform_bonus", "0.1",
             "--dataset.max_buffer_size", "8",
         ]
     )
@@ -196,6 +204,8 @@ def test_cli_proposal_sampling_end_to_end(tmp_path):
         for part in line.split()
         if part.startswith("psnr=")
     ]
+    # Floor 13: the loader's thread-timing raciness gives healthy runs a
+    # 14.5-24.7 peak range here; broken/diverged runs sit at ~8-10.
     assert psnrs and max(psnrs) > 13.0, f"proposal-mode validation PSNR too low: {psnrs}"
     assert list((ws / "checkpoints").glob("step_*.ckpt"))
 
