@@ -109,6 +109,9 @@ class _dataset_args:
     frame_numbers: Tuple[int, ...] = ()
     max_buffer_size: int = 200
     max_num_frames_per_batch: int = 8
+    # Replace one training-pool entry synchronously per batch instead of a
+    # free-running replacer thread — reproducible batches (data/loader.py).
+    deterministic_loader: bool = False
 
 
 @dataclass

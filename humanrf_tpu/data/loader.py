@@ -96,6 +96,7 @@ class DataLoader:
         render_sequence: Optional[List[Tuple[int, int]]] = None,
         seed: int = 0,
         device=None,
+        deterministic: bool = False,
     ) -> None:
         self.mode = mode
         self.batch_size = batch_size
@@ -219,6 +220,21 @@ class DataLoader:
         self.replacer_event.clear()
         self._shutdown = threading.Event()
         self.run_replacer_thread = self.buffer_size < self.num_camera_frame_pairs
+        # Deterministic training mode: instead of a free-running replacer
+        # thread racing the training loop (the reference's design,
+        # data_loader.py:353-354 — batch composition then depends on thread
+        # timing), replace exactly ONE pool entry synchronously per __next__.
+        # Same schedule, same pool dynamics, reproducible batches — for CI
+        # and for bitwise-comparable experiment pairs.
+        #
+        # Scope: this makes the DATA stream reproducible (unit-tested to
+        # bitwise equality). Full run reproducibility additionally depends on
+        # the backend: XLA:TPU executions are deterministic; XLA:CPU matmul
+        # reductions were measured to vary run-to-run when step dispatch is
+        # async under host-thread contention (identical inputs and executable,
+        # diverging params; forcing a per-step host sync restores bitwise
+        # equality). This is a CPU-backend property, not a pipeline one.
+        self.deterministic = bool(deterministic) and self.mode == M.TRAINING
 
         if self.run_replacer_thread and self.mode != M.TRAINING:
             self.empty_slots_sem = threading.Semaphore(self.buffer_size)
@@ -237,7 +253,7 @@ class DataLoader:
         self.pair_load_index = self.buffer_size
 
         self._replacer_thread = None
-        if self.run_replacer_thread:
+        if self.run_replacer_thread and not self.deterministic:
             self._replacer_thread = threading.Thread(target=self._replace_next_buffer_entry, daemon=True)
             self._replacer_thread.start()
         import atexit
@@ -299,22 +315,31 @@ class DataLoader:
             if self._shutdown.is_set():
                 return
 
-            if (
-                self.space_pruning_mode == DataLoader.SpacePruningMode.OCCUPANCY_GRID
-                and self.mode == DataLoader.Mode.TRAINING
-            ):
-                with self.grid_lock:
-                    live = set(self.entry_frame_numbers.tolist())
-                    for fn in [f for f in self.frame_to_grid_slot if f not in live]:
-                        self.frame_to_grid_slot.pop(fn)
-                assert len(self.frame_to_grid_slot) <= self.occupancy_grids_buffer_size
-
+            self._evict_stale_grid_slots()
             self._load_and_copy_camera_frame_data(
                 camera_frame_pair=pair,
                 buffer_index=self.pair_load_index % self.buffer_size,
                 data_lock=self.data_lock,
             )
             self.pair_load_index += 1
+
+    def _evict_stale_grid_slots(self):
+        if (
+            self.space_pruning_mode == DataLoader.SpacePruningMode.OCCUPANCY_GRID
+            and self.mode == DataLoader.Mode.TRAINING
+        ):
+            with self.grid_lock:
+                live = set(self.entry_frame_numbers.tolist())
+                for fn in [f for f in self.frame_to_grid_slot if f not in live]:
+                    self.frame_to_grid_slot.pop(fn)
+            assert len(self.frame_to_grid_slot) <= self.occupancy_grids_buffer_size
+
+    def _replace_one_sync(self):
+        """Deterministic-mode pool replacement: one entry, caller's thread."""
+        pair = next(self.camera_frame_pairs)
+        self._evict_stale_grid_slots()
+        self._load_and_copy_camera_frame_data(pair, self.pair_load_index % self.buffer_size, None)
+        self.pair_load_index += 1
 
     def _upload_grid(self, frame_number: int) -> int:
         """Upload (and dilate) a grid into a device slot; returns the slot."""
@@ -440,6 +465,11 @@ class DataLoader:
         R = self.batch_size
         if self.mode == M.TRAINING:
             from humanrf_tpu import native
+
+            # replacer_event doubles as the pause gate (trainer checkpoints /
+            # validation), so deterministic replacement honors it too.
+            if self.deterministic and self.run_replacer_thread and self.replacer_event.is_set():
+                self._replace_one_sync()
 
             buffer_idx = self.rng.integers(0, self.buffer_size, size=R).astype(np.int32)
             pixel_idx = self.rng.integers(0, self.num_pixels_per_camera, size=R).astype(np.int32)

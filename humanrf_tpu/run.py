@@ -163,6 +163,7 @@ def main(argv=None) -> None:
             use_mask=True,
             filter_light_bloom=config.dataset.filter_light_bloom,
             seed=config.random_seed,
+            deterministic=config.dataset.deterministic_loader,
         )
         render_sequence_validation = presets.get_render_sequence(
             coverage=config.validation.coverage,

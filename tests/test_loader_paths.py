@@ -126,3 +126,46 @@ def test_light_bloom_filtering(tmp_path):
     # Batch-level flag mirrors the pool data.
     assert batch.ray_light_ok.shape == (256,)
     loader.shutdown()
+
+
+def test_deterministic_loader_reproduces_batches(mixed_dataset):
+    """deterministic=True: no replacer thread; two loaders with the same seed
+    must produce identical batch sequences AND identical pool evolution, while
+    the pool still cycles through (camera, frame) pairs (replacement happens,
+    just synchronously)."""
+    data_dir, cfg = mixed_dataset
+
+    def draw(seed):
+        loader = _make_loader(data_dir, max_buffer_size=6, seed=seed, deterministic=True)
+        assert loader.run_replacer_thread  # buffer < pairs → replacement needed
+        assert loader._replacer_thread is None  # ...but no thread in this mode
+        out = []
+        it = iter(loader)
+        for _ in range(8):
+            batch, pool, grids, info = next(it)
+            out.append(
+                (
+                    np.asarray(batch.pixel_idx).copy(),
+                    np.asarray(batch.buffer_idx).copy(),
+                    np.asarray(pool.frame_numbers).copy(),
+                    np.asarray(pool.camera_numbers).copy(),
+                )
+            )
+        pairs_seen = loader.pair_load_index
+        loader.shutdown()
+        return out, pairs_seen
+
+    a, pairs_a = draw(seed=3)
+    b, pairs_b = draw(seed=3)
+    c, _ = draw(seed=4)
+
+    assert pairs_a == pairs_b
+    # One synchronous replacement per drawn batch on top of the preload.
+    assert pairs_a == 6 + 8
+    for (pa, ba, fa, ca), (pb, bb, fb, cb) in zip(a, b):
+        np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_array_equal(ba, bb)
+        np.testing.assert_array_equal(fa, fb)
+        np.testing.assert_array_equal(ca, cb)
+    # A different seed produces a different pixel stream.
+    assert any(not np.array_equal(pa, pc) for (pa, *_), (pc, *_) in zip(a, c))
