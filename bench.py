@@ -221,6 +221,9 @@ def main():
                 "unit": "rays/s",
                 "vs_baseline": round(supervised_rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
                 "nominal_rays_per_sec": round(nominal_rays_per_sec, 1),
+                "samples_per_sec": round(samples_per_sec, 0),
+                "steps_per_sec": round(n_steps / elapsed, 3),
+                "params_millions": round(n_params / 1e6, 2),
                 "sampling": sampling,
                 "backend": backend,
             }
