@@ -297,15 +297,29 @@ class DataLoader:
     # --------------------------------------------------------------- replacer
 
     def shutdown(self):
-        """Stop the replacer thread (also called by __del__/atexit so the
-        interpreter never kills a thread blocked inside a JAX call)."""
+        """Stop the replacer thread (also called by atexit so the interpreter
+        never tears down while a worker thread is inside a JAX call — the
+        observed failure mode is a hard `Fatal Python error` when a daemon
+        thread holding XLA state is killed mid-call at interpreter exit).
+
+        The replacer checks `_shutdown` before every blocking wait AND before
+        every JAX call (`_load_and_copy_camera_frame_data`,` _upload_grid`),
+        so after the event is set it reaches a checkpoint within one image
+        load; the join below then completes promptly. Idempotent."""
+        import atexit
+
+        atexit.unregister(self.shutdown)  # drop the registry's reference
         self._shutdown.set()
         self.replacer_event.set()
         if self.run_replacer_thread and self.mode != DataLoader.Mode.TRAINING:
+            # Unblock a replacer waiting for an empty pool slot.
             self.empty_slots_sem.release()
         t = getattr(self, "_replacer_thread", None)
         if t is not None and t.is_alive():
-            t.join(timeout=5.0)
+            t.join(timeout=30.0)
+            if t.is_alive():
+                print("[WARNING] DataLoader.shutdown: replacer thread still alive after 30s")
+        self._replacer_thread = None
 
     def _replace_next_buffer_entry(self):
         for pair in self.camera_frame_pairs:
@@ -365,6 +379,8 @@ class DataLoader:
     ) -> None:
         camera_number, frame_number = camera_frame_pair
         camera = self.cameras[camera_number]
+        if self._shutdown.is_set():
+            return
 
         rgba = None
         light_ok = None
@@ -387,6 +403,10 @@ class DataLoader:
 
         if self.run_replacer_thread and self.mode != DataLoader.Mode.TRAINING:
             self.empty_slots_sem.acquire()
+        # No JAX work past this point once shutdown has begun: the interpreter
+        # must never tear down while this (daemon) thread is inside XLA.
+        if self._shutdown.is_set():
+            return
 
         if data_lock is not None:
             data_lock.acquire()
@@ -514,9 +534,11 @@ class DataLoader:
                 pool = self.pool_arrays()
                 grids = self.device_grids
 
-            if self.run_replacer_thread:
-                if self.available_slots_sem._value % self.num_batches_per_full_image == 0:
-                    self.empty_slots_sem.release()
+            if self.run_replacer_thread and ray_end == self.num_pixels_per_camera:
+                # Last batch of this image consumed → its pool slot is free for
+                # the replacer. (Explicit end-of-image accounting; an earlier
+                # version peeked at the semaphore's CPython-private `_value`.)
+                self.empty_slots_sem.release()
 
             info = BatchInfo(
                 num_real=num_real,

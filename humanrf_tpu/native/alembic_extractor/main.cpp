@@ -57,7 +57,11 @@ int convert_alembic_to_objs(const fs::path& abc_path, const fs::path& out_dir) {
     fs::create_directories(out_dir);
     std::vector<std::future<void>> writers;
     for (uint32_t i = 0; i < num_samples; ++i) {
-        std::string obj = mesh_to_obj(mesh.positions_at(i), mesh.ints_at(*mesh.face_counts, i),
+        std::vector<float> positions = mesh.positions_at(i);
+        // Match the reference extractor's output file set: frames whose
+        // position array is empty produce no Frame%06u.obj at all.
+        if (positions.empty()) continue;
+        std::string obj = mesh_to_obj(positions, mesh.ints_at(*mesh.face_counts, i),
                                       mesh.ints_at(*mesh.face_indices, i));
         char name[32];
         std::snprintf(name, sizeof(name), "Frame%06u.obj", i);

@@ -48,7 +48,10 @@ def weights_to_cdf(weights: jax.Array, uniform_bonus: float = 1e-2) -> jax.Array
     """
     w = jnp.maximum(weights, 0.0) + uniform_bonus / weights.shape[-1]
     cum = jnp.cumsum(w, axis=-1)
-    cdf = cum / cum[:, -1:]
+    # Guard the all-zero-weight row (possible with uniform_bonus=0 on a ray
+    # with empty occupancy): 0/0 here would propagate NaN into the gradients
+    # and make apply_if_finite skip every subsequent update.
+    cdf = cum / jnp.maximum(cum[:, -1:], 1e-12)
     return jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
 
 

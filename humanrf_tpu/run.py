@@ -210,6 +210,10 @@ def main(argv=None) -> None:
             mesh=mesh,
         )
         trainer.train(training_data_loader, validation_data_loader, max_steps=config.training.max_steps)
+        # Deterministic teardown: never leave worker threads alive to race the
+        # interpreter (or a later phase) inside a JAX call.
+        training_data_loader.shutdown()
+        validation_data_loader.shutdown()
 
     results_folder = workspace / "results"
 
@@ -234,6 +238,7 @@ def main(argv=None) -> None:
             seed=config.random_seed,
         )
         trainer.test(loader, results_folder / "test_keycams", True)
+        loader.shutdown()
 
     if config.test.trajectory_via_calibration_file is not None:
         loader = get_trajectory_dataloader_from_calibration(
@@ -255,6 +260,7 @@ def main(argv=None) -> None:
             seed=config.random_seed,
         )
         trainer.test(loader, results_folder / "test_calibration_file", True)
+        loader.shutdown()
 
     if config.evaluate:
         eval_frame_numbers = frame_numbers
@@ -289,6 +295,7 @@ def main(argv=None) -> None:
             seed=config.random_seed,
         )
         trainer.test(evaluation_data_loader, results_folder / "test_frames", False)
+        evaluation_data_loader.shutdown()
 
         evaluate(
             results_directory=results_folder,

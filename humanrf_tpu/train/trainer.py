@@ -55,11 +55,15 @@ def make_optimizer(
     (trainer.py:250-252) — that skip is load-bearing: one overflowing batch
     (e.g. fp32 `exp` overflow in the density head on an unlucky sample) must
     not poison the parameters. bf16 needs no loss *scaling*, but it needs the
-    same skip semantics; `apply_if_finite` is exactly that. 100 consecutive
-    non-finite steps raise instead of spinning forever.
+    same skip semantics; `apply_if_finite` is exactly that. Skips never raise:
+    a persistently non-finite run stalls visibly (the trainer logs the skip
+    counter from the optimizer state every 500 steps) instead of poisoning.
 
     ``weight_decay`` (decoupled, AdamW-style, scaled by the lr schedule)
-    defaults to 0 for reference parity. It is the one restoring force that
+    defaults to 0 here for reference parity — but note the CLI default is
+    0.03 (`configs/args.py`), the stability-validated TPU flagship setting
+    (PERF.md round-2b A/B); pass ``--training.weight_decay 0`` for a
+    bit-parity Adam run. It is the one restoring force that
     still acts where volume-rendering gradients are dead: a region whose
     density saturated alpha (σ·dt ≳ 17) gets exp(−σ·dt)-attenuated — i.e.
     zero — gradients, so a wrongly-opaque floater can otherwise never be
@@ -261,11 +265,15 @@ class Trainer:
                     self.writer.add_scalar("throughput/steps_per_sec", (self.step - last_log) / elapsed, self.step)
                 supervised_accum = jnp.zeros((), dtype=jnp.float32)
                 if self.step % 500 == 0:
+                    skipped = getattr(self.opt_state, "total_notfinite", None)
                     self._log_info(
                         f"step {self.step}: loss={step_loss:.5f} ema={loss_ema:.5f} "
                         f"samples={int(aux['num_samples'])} "
                         f"rays/s={self.pcfg.num_rays * (self.step - last_log) / max(elapsed, 1e-9):.0f}"
+                        + (f" skipped_nonfinite={int(skipped)}" if skipped is not None else "")
                     )
+                    if skipped is not None and int(skipped) > 0:
+                        self.writer.add_scalar("stability/skipped_nonfinite_updates", int(skipped), self.step)
                 window_start = time.time()
                 last_log = self.step
 
