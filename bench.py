@@ -10,8 +10,11 @@ occupancy-guided sampling at step 4e-4, visibility pruning, Huber+BCE loss,
 Adam — the full differentiable pipeline, one jitted step.
 
 Baseline: the reference publishes no numbers (BASELINE.md); we use an
-estimated A100 reference of 50,000 training rays/sec (≈8.2k rays/step at
-~6 it/s for tcnn-class pipelines at the 640k sample budget).
+estimated A100 reference of 50,000 supervised training rays/sec — ≈8.2k
+supervised rays/step (the 640k budget at the measured ~78 samples/ray fill)
+× ~6 it/s (iNGP-class tcnn throughput scaled to HumanRF's 4-grid model on
+A100). Derivation + sensitivity band (±2×: 25k-100k) in BASELINE.md — the
+constant is the central estimate, not a measured number.
 """
 import json
 import sys
@@ -35,12 +38,14 @@ def main():
 
     import os
 
-    # "onehot" (default): the gather-free interpolating-matmul field — the
-    # TPU-native flagship (PERF.md). "gather": exact tcnn-semantics lookups.
-    backend = os.environ.get("BENCH_BACKEND", "onehot")
-    # onehot pairs with small per-level tables (2^12 → 2^11 after the
+    # "fused" (default): the gather-free interpolating-matmul field through
+    # the VMEM-resident Pallas kernel — the TPU-native flagship (PERF.md).
+    # "onehot": same math, XLA-materialized rows. "gather": exact
+    # tcnn-semantics lookups.
+    backend = os.environ.get("BENCH_BACKEND", "fused")
+    # onehot/fused pair with small per-level tables (2^12 → 2^11 after the
     # 50-frame segment scaling); gather keeps the reference's 2^19 → 2^18.
-    log2_hashmap = 12 if backend == "onehot" else 19
+    log2_hashmap = 12 if backend in ("onehot", "fused") else 19
     # "proposal" (default): CP proposal field + importance resampling — the
     # TPU-native sampling flagship (every valid ray supervised, static (R, K)
     # lattice). "dense": the reference's 4e-4 march + budget compaction.

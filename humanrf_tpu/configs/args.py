@@ -135,8 +135,11 @@ class _tpu_args:
     # Synthetic-dataset camera presets (tests / hermetic runs) instead of the
     # frozen ActorsHQ splits.
     synthetic_presets: bool = False
-    # Scene-field backend: "gather" (exact tcnn lookup semantics) or "onehot"
-    # (gather-free interpolating-matmul; pair with small model.log2_hashmap_size).
+    # Scene-field backend: "gather" (exact tcnn lookup semantics), "onehot"
+    # (gather-free interpolating-matmul; pair with small model.log2_hashmap_size)
+    # or "fused" (onehot math via the VMEM-resident Pallas kernel — fastest on
+    # TPU; falls back to onehot for segments whose table size isn't a
+    # multiple of 128).
     field_backend: str = "gather"
     # Sampling strategy: "dense" (reference semantics: 4e-4 lattice + optional
     # visibility prune) or "proposal" (CP proposal field + importance

@@ -39,10 +39,20 @@ class Decomposition4DConfig:
     # "gather": exact tcnn-semantics lookups (XLA gathers; ~10ns/element on
     # TPU — see PERF.md). "onehot": gather-free interpolating-matmul backend
     # (requires small grid.table_size; trades capacity for ~10-20× step time).
+    # "fused": same math as onehot through the Pallas kernel that builds the
+    # one-hot rows in VMEM only (ops/fused_interp.py; 1.6× over onehot on
+    # v5e — PERF.md round 3). Needs table_size and vector resolution % 128
+    # == 0; falls back to onehot per-segment otherwise.
     backend: str = "gather"
     # Sample-chunk size for the onehot backend ((chunk, T) one-hot rows are
     # materialized per level; 32768×2048×bf16 = 134MB transient).
     onehot_chunk: int = 32768
+    # --- fused-backend knobs (see ops/fused_interp.py) -----------------------
+    fused_variant: str = "twolevel"
+    fused_tile_n: int = 1024
+    # Pallas interpret mode: required on CPU (tests / --device cpu); auto-set
+    # by the model from the active JAX backend.
+    fused_interpret: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -155,6 +165,15 @@ def apply_decomposition4d(
 
     N must be a multiple of 128 (the pipeline's static budgets are).
     """
+    if cfg.backend == "fused":
+        if cfg.grid.table_size % 128 == 0 and params["vectors"].shape[-1] % 128 == 0:
+            from humanrf_tpu.models.fused_field import apply_decomposition4d_fused
+
+            return apply_decomposition4d_fused(params, xyz, times, cfg)
+        # Tiny segment tables (per-segment hashmap scaling can go below 128)
+        # don't fit the kernel's lane tiling — use the XLA one-hot path there;
+        # such segments are cheap anyway.
+        return _apply_decomposition4d_onehot(params, xyz, times, cfg)
     if cfg.backend == "onehot":
         return _apply_decomposition4d_onehot(params, xyz, times, cfg)
     assert cfg.backend == "gather", cfg.backend

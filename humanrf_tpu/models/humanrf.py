@@ -63,7 +63,8 @@ class HumanRFConfig:
     camera_embedding_dim: int = 0
     # "gather" = exact tcnn-semantics table lookups; "onehot" = gather-free
     # interpolating-matmul backend (use with small log2_hashmap_size, ≤ 12 —
-    # see PERF.md for why this exists on TPU).
+    # see PERF.md for why this exists on TPU); "fused" = onehot math through
+    # the VMEM-resident Pallas kernel (fastest on TPU, ops/fused_interp.py).
     field_backend: str = "gather"
     # Proposal density field for importance sampling (models/proposal.py);
     # rank 0 disables it (dense-march pipeline only).
@@ -123,6 +124,10 @@ class HumanRFModel:
                     ),
                     vectors_finest_resolution=cfg.finest_resolution,
                     backend=cfg.field_backend,
+                    # Pallas compiles only on TPU; tests / --device cpu get the
+                    # (slow, correct) interpreter. Decided once at model build —
+                    # run.py selects the platform before constructing the model.
+                    fused_interpret=(jax.default_backend() != "tpu"),
                 )
             )
 
