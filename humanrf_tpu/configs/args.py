@@ -145,7 +145,9 @@ class _tpu_args:
     # visibility prune) or "proposal" (CP proposal field + importance
     # resampling over a static (R, K) lattice; see ops/resample.py).
     sampling: str = "dense"
-    proposal_samples_per_ray: int = 64
+    # 32 coarse bins: the PERF.md-validated flagship value (64 measured
+    # -1.5 dB on the knob probes).
+    proposal_samples_per_ray: int = 32
     render_samples_per_ray: int = 32
     # Second proposal level (0 = single-level cascade): refined interval count
     # for a second cheap-proposal evaluation before the render draw.
@@ -188,6 +190,78 @@ class _run_args:
     test: _test_args = field(default_factory=_test_args)
 
 
+# Measured quality trade-offs for the sampler knobs (PERF.md knob probes:
+# 2k-step convergence runs on the high-detail synthetic sweep scene, best
+# validation PSNR vs the flagship defaults). Shown in --help and enforced as
+# runtime warnings by `warn_pipeline_knobs` — single-knob steps away from the
+# defaults cost dB-scale quality, so the cliffs are documented where users
+# actually look.
+_TPU_KNOB_HELP = {
+    "tpu.march_grid_factor": (
+        "tmin/tmax march grid coarsening. Measured: 2 (default) is "
+        "quality-neutral; 4 gives +16%% rays/s but -3.2 dB (wider spans "
+        "dilute the proposal PDF)."
+    ),
+    "tpu.proposal_resolution": (
+        "CP proposal factor resolution. Measured: 128 (default) validated; "
+        "192 costs -2.0 dB (sharper factors concentrate before the proposal "
+        "is trained)."
+    ),
+    "tpu.proposal_samples_per_ray": (
+        "coarse proposal bins per ray (Kc). Measured: 32 (default) "
+        "validated; 64 costs -1.5 dB."
+    ),
+    "tpu.proposal_uniform_bonus": (
+        "exploration floor mixed into the resampling CDF. Measured: 5e-2 "
+        "(default) validated; 2e-2 costs -1.9 dB (saturated-proposal "
+        "deadlock); 0 additionally risks empty-ray degenerate CDFs."
+    ),
+    "tpu.render_samples_per_ray": (
+        "field samples per ray (Kf). Measured: 16 (default) is the quality "
+        "floor on the sweep scene; 8 (via the mid cascade) costs -3.2 dB."
+    ),
+}
+
+
+def warn_pipeline_knobs(tpu) -> list:
+    """Warnings for sampler knobs in measured-bad regions (PERF.md probes).
+
+    Returns the warning strings (the CLI prints them; tests assert on them).
+    Only fires for the proposal sampler — the dense pipeline does not use
+    these knobs' quality-sensitive paths (march_grid_factor excepted).
+    """
+    out = []
+    if tpu.march_grid_factor > 2:
+        out.append(
+            f"--tpu.march_grid_factor {tpu.march_grid_factor}: measured -3.2 dB at 4 "
+            "(vs 2) — wider marched spans dilute the proposal PDF."
+        )
+    if tpu.sampling != "proposal":
+        return out
+    if tpu.proposal_resolution > 128:
+        out.append(
+            f"--tpu.proposal_resolution {tpu.proposal_resolution}: measured -2.0 dB at 192 "
+            "(vs 128) — over-sharp proposal factors concentrate too early."
+        )
+    if tpu.proposal_samples_per_ray > 32:
+        out.append(
+            f"--tpu.proposal_samples_per_ray {tpu.proposal_samples_per_ray}: measured "
+            "-1.5 dB at 64 (vs 32)."
+        )
+    if tpu.proposal_uniform_bonus < 5e-2:
+        out.append(
+            f"--tpu.proposal_uniform_bonus {tpu.proposal_uniform_bonus}: measured -1.9 dB "
+            "at 2e-2 (vs 5e-2); below the exploration floor a wrongly-opaque "
+            "proposal can deadlock the sampler (PERF.md round-2b)."
+        )
+    if 0 < tpu.render_samples_per_ray < 16:
+        out.append(
+            f"--tpu.render_samples_per_ray {tpu.render_samples_per_ray}: measured -3.2 dB "
+            "at 8 (vs 16) — 16 render samples is the quality floor."
+        )
+    return out
+
+
 def _parse_bool(v: str) -> bool:
     if v.lower() in ("true", "1", "yes"):
         return True
@@ -215,17 +289,18 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str) -> No
             continue
         tp, _ = _unwrap_optional(tp)
         origin = typing.get_origin(tp)
+        help_text = _TPU_KNOB_HELP.get(name)
         if origin in (tuple, list):
             elem = typing.get_args(tp)[0]
-            parser.add_argument(f"--{name}", nargs="*", type=elem, default=argparse.SUPPRESS)
+            parser.add_argument(f"--{name}", nargs="*", type=elem, default=argparse.SUPPRESS, help=help_text)
         elif tp is bool:
-            parser.add_argument(f"--{name}", type=_parse_bool, default=argparse.SUPPRESS)
+            parser.add_argument(f"--{name}", type=_parse_bool, default=argparse.SUPPRESS, help=help_text)
         elif tp in (int, float, str, Path):
             # int fields accept "50_001" style underscores like python literals.
             conv = (lambda s: int(s.replace("_", ""))) if tp is int else tp
-            parser.add_argument(f"--{name}", type=conv, default=argparse.SUPPRESS)
+            parser.add_argument(f"--{name}", type=conv, default=argparse.SUPPRESS, help=help_text)
         else:
-            parser.add_argument(f"--{name}", type=str, default=argparse.SUPPRESS)
+            parser.add_argument(f"--{name}", type=str, default=argparse.SUPPRESS, help=help_text)
 
 
 def _build_dataclass(cls, values: dict, prefix: str):

@@ -28,49 +28,74 @@ from humanrf_tpu.core.camera import CameraData, read_calibration_csv
 
 
 class VolumetricDatasetFilepaths:
-    CAMERA_IDENTIFIER = "{camera_name}"
-    FRAME_IDENTIFIER = "{frame_number:06d}"
-    FRAME_IDENTIFIER_MODULO = "%06d"
+    """Path resolution for the ActorsHQ layout, as one data-driven table.
 
-    RGB_PATTERN = f"rgbs/{CAMERA_IDENTIFIER}/{CAMERA_IDENTIFIER}_rgb{FRAME_IDENTIFIER}.jpg"
-    MASK_PATTERN = f"masks/{CAMERA_IDENTIFIER}/{CAMERA_IDENTIFIER}_mask{FRAME_IDENTIFIER}.png"
-    OCCUPANCY_GRID_PATTERN = f"occupancy_grids/occupancy_grid{FRAME_IDENTIFIER}.npz"
-    CALIBRATION_CSV = "calibration.csv"
-    AABBS_CSV = "aabbs.csv"
-    MESH_FILE = "meshes.abc.xz"
-    BLEND_FILE = "scene.blend"
-    LIGHT_ANNOTATIONS_CSV = "light_annotations.csv"
-    METADATA_JSON = "scene.json"
+    Every artifact is a row: (anchor, relative template). Anchor "scale" is
+    the ``<actor>/<sequence>/<scale>x`` folder this object is constructed
+    with; anchor "sequence" is its parent (per-sequence artifacts shared by
+    all scales). The ``{frame}`` field renders either as a zero-padded frame
+    number or — when the frame is the literal ``"%06d"`` — as a printf-style
+    pattern for callers that enumerate frames (e.g. video tooling).
+    """
+
+    LAYOUT = {
+        "calibration": ("scale", "calibration.csv"),
+        "light_annotations": ("scale", "light_annotations.csv"),
+        "rgb": ("scale", "rgbs/{camera}/{camera}_rgb{frame}.jpg"),
+        "mask": ("scale", "masks/{camera}/{camera}_mask{frame}.png"),
+        "aabbs": ("sequence", "aabbs.csv"),
+        "metadata": ("sequence", "scene.json"),
+        "occupancy_grid": ("sequence", "occupancy_grids/occupancy_grid{frame}.npz"),
+        "mesh": ("sequence", "meshes.abc.xz"),
+        "blend": ("sequence", "scene.blend"),
+    }
 
     def __init__(self, data_folder: Path) -> None:
         self.folder = Path(data_folder)
-        self.calibration_path = self.folder / self.CALIBRATION_CSV
-        self.aabbs_path = self.folder.parent / self.AABBS_CSV
-        self.metadata_path = self.folder.parent / self.METADATA_JSON
 
-    def _get_pattern(self, pattern: str) -> str:
-        return str(self.folder / pattern.replace(self.FRAME_IDENTIFIER, self.FRAME_IDENTIFIER_MODULO))
+    def path(self, kind: str, camera: Optional[str] = None, frame=None) -> Path:
+        anchor, template = self.LAYOUT[kind]
+        root = self.folder if anchor == "scale" else self.folder.parent
+        frame_str = f"{frame:06d}" if isinstance(frame, int) else frame
+        return root / template.format(camera=camera, frame=frame_str)
+
+    def pattern(self, kind: str, camera: Optional[str] = None) -> str:
+        """printf-style (%06d) frame pattern for the given artifact kind."""
+        return str(self.path(kind, camera=camera, frame="%06d"))
+
+    # Convenience spellings for the common artifacts.
+    @property
+    def calibration_path(self) -> Path:
+        return self.path("calibration")
+
+    @property
+    def aabbs_path(self) -> Path:
+        return self.path("aabbs")
+
+    @property
+    def metadata_path(self) -> Path:
+        return self.path("metadata")
 
     def get_rgb_path(self, camera_name: str, frame_number: int) -> Path:
-        return self.folder / self.RGB_PATTERN.format(camera_name=camera_name, frame_number=frame_number)
+        return self.path("rgb", camera=camera_name, frame=frame_number)
 
     def get_mask_path(self, camera_name: str, frame_number: int) -> Path:
-        return self.folder / self.MASK_PATTERN.format(camera_name=camera_name, frame_number=frame_number)
+        return self.path("mask", camera=camera_name, frame=frame_number)
 
     def get_occupancy_grid_path(self, frame_number: int) -> Path:
-        return self.folder.parent / self.OCCUPANCY_GRID_PATTERN.format(frame_number=frame_number)
+        return self.path("occupancy_grid", frame=frame_number)
 
     def get_light_annotations_path(self) -> Path:
-        return self.folder / self.LIGHT_ANNOTATIONS_CSV
+        return self.path("light_annotations")
 
     def get_metadata_path(self) -> Path:
-        return self.folder.parent / self.METADATA_JSON
+        return self.path("metadata")
 
     def get_rgb_pattern(self) -> str:
-        return self._get_pattern(self.RGB_PATTERN)
+        return self.pattern("rgb", camera="{camera_name}")
 
     def get_mask_pattern(self) -> str:
-        return self._get_pattern(self.MASK_PATTERN)
+        return self.pattern("mask", camera="{camera_name}")
 
 
 class VolumetricDataset:

@@ -103,18 +103,18 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.camera_numbers = tuple(camera_numbers)
         if len(set(self.camera_numbers)) != len(self.camera_numbers):
-            raise RuntimeError("Provided camera numbers cannot have duplicates.")
+            raise RuntimeError(f"duplicate camera numbers in {self.camera_numbers}")
         self.frame_numbers = tuple(frame_numbers)
         if len(set(self.frame_numbers)) != len(self.frame_numbers):
-            raise RuntimeError("Provided frame numbers cannot have duplicates.")
+            raise RuntimeError("duplicate frame numbers in the requested frame set")
 
         def _check_and_get_arg(arg: Any, name: str, valid_modes, default: Any):
             if self.mode in valid_modes:
                 if arg is None:
-                    raise RuntimeError(f"'{name}' has to be given for {self.mode}")
+                    raise RuntimeError(f"{self.mode} requires the '{name}' argument")
                 return arg
             if arg is not None:
-                raise RuntimeError(f"'{name}' cannot be used for {self.mode}")
+                raise RuntimeError(f"'{name}' is not a valid argument for {self.mode}")
             return default
 
         M = DataLoader.Mode
@@ -123,7 +123,7 @@ class DataLoader:
         )
         if self.mode == M.TRAINING:
             if len(self.frame_numbers) > 1 and self.max_num_frames_per_batch < 2:
-                raise RuntimeError("'max_num_frames_per_batch >= 2' has to be met.")
+                raise RuntimeError("multi-frame training needs max_num_frames_per_batch >= 2")
             self.max_num_frames_per_batch = min(self.max_num_frames_per_batch, len(self.frame_numbers))
         self.use_mask = _check_and_get_arg(use_mask, "use_mask", [M.TRAINING, M.VALIDATION], False)
         self.filter_light_bloom = _check_and_get_arg(
@@ -153,7 +153,7 @@ class DataLoader:
 
         unique_num_pixels = list({self.cameras[cn].width * self.cameras[cn].height for cn in self.camera_numbers})
         if len(unique_num_pixels) != 1:
-            raise RuntimeError("Each camera should have the same number of pixels!")
+            raise RuntimeError(f"cameras disagree on pixel count: {sorted(unique_num_pixels)}")
         self.num_pixels_per_camera = unique_num_pixels[0]
         self.num_batches_per_full_image = int(np.ceil(self.num_pixels_per_camera / self.batch_size))
 
@@ -165,7 +165,7 @@ class DataLoader:
                 and unique_resolutions[0][1] == unique_resolutions[1][0]
             )
         ):
-            raise RuntimeError("Only one resolution (landscape or portrait) is supported.")
+            raise RuntimeError(f"mixed resolutions beyond a landscape/portrait swap are unsupported: {unique_resolutions}")
         width = max(unique_resolutions[0][0], unique_resolutions[0][1])
         height = min(unique_resolutions[0][0], unique_resolutions[0][1])
         self.resolution = (width, height)
@@ -444,7 +444,7 @@ class DataLoader:
 
     def __len__(self):
         if self.mode == DataLoader.Mode.TRAINING:
-            raise NotImplementedError("Size of the training data loader is not defined.")
+            raise NotImplementedError("the training stream is endless; len() only applies to validation/test")
         return self.num_camera_frame_pairs * self.num_pixels_per_camera
 
     def __iter__(self):

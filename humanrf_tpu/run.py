@@ -74,9 +74,11 @@ def compute_segment_sizes(config, data_folder: Path, frame_numbers):
 
 
 def main(argv=None) -> None:
-    from humanrf_tpu.configs.args import parse_args
+    from humanrf_tpu.configs.args import parse_args, warn_pipeline_knobs
 
     config = parse_args(argv)
+    for warning in warn_pipeline_knobs(config.tpu):
+        print(f"[WARNING] quality cliff: {warning}")
 
     if config.device == "cpu":
         import jax

@@ -141,3 +141,38 @@ def test_lpips_fallback_is_honestly_named():
         assert model.metric_name == "lpips_randfeat"
     else:
         assert model.metric_name == "lpips"
+
+
+def test_quality_cliff_warnings_and_help():
+    """The measured sampler-knob cliffs (PERF.md probes) are surfaced in
+    --help and fire runtime warnings in measured-bad regions (VERDICT #7)."""
+    from humanrf_tpu.configs.args import parse_args, warn_pipeline_knobs
+
+    good = parse_args(["--tpu.sampling", "proposal"])
+    assert warn_pipeline_knobs(good.tpu) == []
+
+    bad = parse_args([
+        "--tpu.sampling", "proposal",
+        "--tpu.march_grid_factor", "4",
+        "--tpu.proposal_resolution", "192",
+        "--tpu.proposal_samples_per_ray", "64",
+        "--tpu.proposal_uniform_bonus", "2e-2",
+        "--tpu.render_samples_per_ray", "8",
+    ])
+    warnings = warn_pipeline_knobs(bad.tpu)
+    assert len(warnings) == 5
+    assert any("march_grid_factor" in w and "-3.2 dB" in w for w in warnings)
+    assert any("uniform_bonus" in w for w in warnings)
+
+    # Dense sampling only checks the knobs it actually uses.
+    dense = parse_args(["--tpu.march_grid_factor", "4", "--tpu.proposal_uniform_bonus", "0"])
+    assert len(warn_pipeline_knobs(dense.tpu)) == 1
+
+    # --help carries the measured numbers where users look.
+    import subprocess, sys
+    help_text = subprocess.run(
+        [sys.executable, "-c",
+         "from humanrf_tpu.configs.args import parse_args; parse_args(['--help'])"],
+        capture_output=True, text=True,
+    ).stdout
+    assert "-3.2 dB" in help_text and "-1.9 dB" in help_text
