@@ -17,12 +17,21 @@ A100). Derivation + sensitivity band (±2×: 25k-100k) in BASELINE.md — the
 constant is the central estimate, not a measured number.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 A100_BASELINE_RAYS_PER_SEC = 50_000.0
+
+# Persistent XLA compile cache: the flagship scan-chunked step costs ~8 min to
+# compile through the remote-TPU tunnel; with the repo-resident cache a repeat
+# bench (same config/jax build) reaches its first step in seconds (PERF.md
+# round-3 compile-time section). Must be set before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
 def main():
@@ -35,8 +44,6 @@ def main():
     from humanrf_tpu.models.humanrf import HumanRFConfig, HumanRFModel
     from humanrf_tpu.train.pipeline import HostBatch, PipelineConfig, PoolArrays, make_train_step
     from humanrf_tpu.train.trainer import make_optimizer
-
-    import os
 
     # "fused" (default): the gather-free interpolating-matmul field through
     # the VMEM-resident Pallas kernel — the TPU-native flagship (PERF.md).

@@ -204,11 +204,19 @@ class HumanRFModel:
         (static-shape analog of humanrf.py:169-177). For num_segments == 1 this
         collapses to a single unmasked evaluation.
 
-        The per-segment grid evaluation is wrapped in `jax.checkpoint`: storing
-        the per-level gather indices + trilinear weights for backward costs
-        ~40MB × levels × 4 grids per 640k samples (OOMs a 16GB chip); remat
-        recomputes them from positions instead — the TPU analog of the fused
-        recompute inside tcnn's backward kernels.
+        The gather/onehot per-segment grid evaluation is wrapped in
+        `jax.checkpoint`: storing the per-level gather indices + trilinear
+        weights (gather) or the (N, T) one-hot rows XLA would otherwise keep
+        (onehot) for backward costs ~40MB × levels × 4 grids per 640k samples
+        (OOMs a 16GB chip); remat recomputes them from positions instead — the
+        TPU analog of the fused recompute inside tcnn's backward kernels.
+
+        The fused backend is NOT rematted: its custom_vjp residuals are just
+        the (P, C, N) corner idx/weights (~0.5GB at bench shapes — fits), and
+        remat would replay the expensive VMEM row-build + MXU forward a second
+        time inside backward. Measured on v5e-1 (16384 rays × Kf=16 flagship
+        step): 341 ms/step rematted → skipping remat removes one full fused
+        forward (PERF.md round 3).
         """
         frame_numbers = frame_numbers.astype(jnp.int32)
         xyz01 = positions + 0.5
@@ -216,7 +224,8 @@ class HumanRFModel:
 
         def seg_apply(s):
             cfg_s = self.segment_grid_configs[s]
-            return jax.checkpoint(lambda prm, x, t: apply_decomposition4d(prm, x, t, cfg_s))
+            fn = lambda prm, x, t: apply_decomposition4d(prm, x, t, cfg_s)
+            return fn if cfg_s.backend == "fused" else jax.checkpoint(fn)
 
         if self.config.num_segments == 1:
             return seg_apply(0)(params["segments"][0], xyz01, times)
