@@ -25,17 +25,22 @@ import numpy as np
 
 A100_BASELINE_RAYS_PER_SEC = 50_000.0
 
-# Persistent XLA compile cache: the flagship scan-chunked step costs ~8 min to
-# compile through the remote-TPU tunnel; with the repo-resident cache a repeat
-# bench (same config/jax build) reaches its first step in seconds (PERF.md
-# round-3 compile-time section). Must be set before jax initializes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
-
 def main():
     import jax
+
+    # Persistent XLA compile cache: the flagship scan-chunked step costs
+    # ~3-20 min to compile through the remote-TPU tunnel; with the
+    # repo-resident cache a repeat bench (same config/jax build) reaches its
+    # first timed step in seconds. NB this must go through jax.config.update,
+    # not os.environ: the container's sitecustomize imports jax before this
+    # module runs, so env vars set here are never read.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
     from scipy.spatial.transform import Rotation
 

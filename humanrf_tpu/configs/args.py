@@ -171,6 +171,13 @@ class _tpu_args:
     # When set, capture a jax.profiler trace of training steps 20-24 into this
     # directory (view with TensorBoard's profile plugin).
     profile_dir: Optional[Path] = None
+    # Training steps executed per device dispatch (lax.scan over K stacked
+    # host batches). Through the remote-TPU tunnel a per-step Python dispatch
+    # serializes on RTT (measured fixed stalls up to ~10s on a degraded
+    # relay); K>1 amortizes it. save/validate cadences must be multiples of
+    # K; max_steps is rounded down to one. Single-device only (DP/FSDP steps
+    # dispatch per-step).
+    steps_per_dispatch: int = 1
 
 
 @dataclass

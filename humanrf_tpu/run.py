@@ -87,6 +87,22 @@ def main(argv=None) -> None:
 
     import jax
 
+    # Honor the persistent-compile-cache env vars even though the container's
+    # sitecustomize imported jax before they could be read at import time
+    # (long TPU-tunnel compiles make the cache load-bearing for CLI runs).
+    import os as _os
+
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir", _os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(_os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 1.0)),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes",
+            int(_os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", 0)),
+        )
+
     import humanrf_tpu.evaluation.presets as presets
     from humanrf_tpu.core.dataset import VolumetricDataset
     from humanrf_tpu.data.loader import DataLoader

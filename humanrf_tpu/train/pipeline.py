@@ -486,6 +486,42 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_chunked_train_step(
+    cfg: PipelineConfig, model: HumanRFModel, optimizer, width: int, height: int, k: int
+):
+    """K training steps per device dispatch: `lax.scan` over K stacked host
+    batches (leading axis K on every HostBatch leaf).
+
+    Through the remote-TPU tunnel a per-step Python dispatch serializes on
+    round-trip latency (bench.py measured the identical program swinging
+    37k → 17k rays/s purely with relay health); scanning K steps inside one
+    program makes the training loop dispatch-rate-independent. pool/grids
+    are chunk-constant — the caller fetches the K batches under a paused
+    replacer so all K share one consistent pool snapshot (data/loader.py's
+    per-batch snapshot invariant, held for the chunk).
+
+    Returns chunk(params, opt_state, batches, pool, grids, aabb, rng) →
+    (params, opt_state, losses[K], auxs[K-stacked scalars]); step i uses
+    `fold_in(rng, i)`, identical to running the raw step K times with those
+    keys (tests/test_chunked_step.py asserts per-leaf parameter equality).
+    """
+    raw_step = make_train_step(cfg, model, optimizer, width, height, jit=False)
+
+    def chunk(params, opt_state, batches: HostBatch, pool: PoolArrays, grids, aabb, rng):
+        def body(carry, xs):
+            p, o = carry
+            b, i = xs
+            p, o, loss, aux = raw_step(p, o, b, pool, grids, aabb, jax.random.fold_in(rng, i))
+            return (p, o), (loss, aux)
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            body, (params, opt_state), (batches, jnp.arange(k, dtype=jnp.uint32))
+        )
+        return params, opt_state, losses, auxs
+
+    return jax.jit(chunk, donate_argnums=(0, 1))
+
+
 def make_render_fn(cfg: PipelineConfig, model: HumanRFModel, width: int, height: int):
     """Returns render_rays(params, batch, pool, grids, aabb, background) →
     (RenderOutput, ray_valid) for validation/test image assembly."""

@@ -115,6 +115,7 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed + 1)
 
         self.train_step_fn = None
+        self.steps_per_dispatch = 1
         if optimizer is not None:
             param_sharding = getattr(getattr(config, "tpu", None), "param_sharding", "replicated")
             if mesh is not None and mesh.devices.size > 1 and param_sharding == "fsdp":
@@ -137,7 +138,26 @@ class Trainer:
                     self.pcfg, model, optimizer, width, height, mesh
                 )
             else:
-                self.train_step_fn = make_train_step(self.pcfg, model, optimizer, width, height)
+                k = int(getattr(getattr(config, "tpu", None), "steps_per_dispatch", 1) or 1)
+                if k > 1:
+                    from humanrf_tpu.train.pipeline import make_chunked_train_step
+
+                    save_every = config.training.save_checkpoint_every_n_steps
+                    validate_every = config.validation.every_n_steps
+                    if save_every % k or validate_every % k:
+                        raise ValueError(
+                            f"--tpu.steps_per_dispatch {k} must divide "
+                            f"--training.save_checkpoint_every_n_steps ({save_every}) and "
+                            f"--validation.every_n_steps ({validate_every}) so chunks never "
+                            "cross a checkpoint/validation boundary"
+                        )
+                    self._log_info(f"chunked training: {k} steps per device dispatch (lax.scan)")
+                    self.train_step_fn = make_chunked_train_step(
+                        self.pcfg, model, optimizer, width, height, k
+                    )
+                else:
+                    self.train_step_fn = make_train_step(self.pcfg, model, optimizer, width, height)
+                self.steps_per_dispatch = k
         # Validation/test loaders use their own (smaller) ray batch sizes; jitted
         # render fns are cached per batch size.
         self._render_fns = {}
@@ -231,22 +251,49 @@ class Trainer:
         profile_dir = getattr(getattr(self.config, "tpu", None), "profile_dir", None)
         trace_active = False
 
-        for _ in range(self.step, max_steps + 1):
-            self.step += 1
+        k = self.steps_per_dispatch
+        if k > 1 and getattr(training_data_loader, "deterministic", False):
+            raise ValueError(
+                "--tpu.steps_per_dispatch > 1 is incompatible with "
+                "--dataset.deterministic_loader: the deterministic loader replaces pool "
+                "entries synchronously inside __next__ gated on the (paused) replacer "
+                "event, so chunked fetches would never refresh the pool"
+            )
+        if k > 1 and max_steps % k:
+            self._log_warning(
+                f"max_steps {max_steps} rounded down to {max_steps - max_steps % k} "
+                f"(a multiple of --tpu.steps_per_dispatch {k})"
+            )
+            max_steps -= max_steps % k
+
+        while self.step < max_steps + (1 if k == 1 else 0):
+            self.step += k
             if profile_dir is not None:
-                if self.step == 20:
+                if self.step >= 20 and not trace_active and self.step < 20 + 2 * k + 5:
                     jax.profiler.start_trace(str(profile_dir))
                     trace_active = True
-                elif self.step == 25 and trace_active:
+                    trace_stop_at = self.step + max(5, 2 * k)
+                elif trace_active and self.step >= trace_stop_at:
                     jax.profiler.stop_trace()
                     trace_active = False
-                    self._log_info(f"profiler trace of steps 20-24 written to {profile_dir}")
-            batch, pool, grids, info = next(loader_iter)
+                    self._log_info(f"profiler trace written to {profile_dir}")
+                    profile_dir = None  # one trace per run
             self.rng, step_rng = jax.random.split(self.rng)
-            self.params, self.opt_state, loss, aux = self.train_step_fn(
-                self.params, self.opt_state, batch, pool, grids, aabb, step_rng
-            )
-            supervised_accum = supervised_accum + aux["num_rays_supervised"]
+            if k == 1:
+                batch, pool, grids, info = next(loader_iter)
+                self.params, self.opt_state, loss, aux = self.train_step_fn(
+                    self.params, self.opt_state, batch, pool, grids, aabb, step_rng
+                )
+                supervised_step = aux["num_rays_supervised"]
+            else:
+                batch, pool, grids = self._fetch_chunk(training_data_loader, loader_iter, k)
+                self.params, self.opt_state, losses, auxs = self.train_step_fn(
+                    self.params, self.opt_state, batch, pool, grids, aabb, step_rng
+                )
+                loss = losses[-1]
+                aux = jax.tree_util.tree_map(lambda v: v[-1], auxs)
+                supervised_step = jnp.sum(auxs["num_rays_supervised"])
+            supervised_accum = supervised_accum + supervised_step
 
             if self.step % 20 == 0 or self.step <= 1:
                 step_loss = float(loss)
@@ -290,6 +337,28 @@ class Trainer:
         if trace_active:
             jax.profiler.stop_trace()
         self.writer.close()
+
+    def _fetch_chunk(self, loader: DataLoader, loader_iter, k: int):
+        """Fetch K training batches sharing one consistent pool snapshot.
+
+        The loader pairs each batch with the pool/grids snapshot it was
+        gathered under (data/loader.py:496-505); a chunk needs all K to share
+        one, so replacement is paused for the (host-side, ~ms) fetch — the
+        replacer still runs during the chunk's (device-side, ~seconds)
+        execution. A replacement already past the pause gate can slip between
+        two fetches (pool identity changes mid-chunk); that rare chunk is
+        discarded and refetched — training batches are i.i.d. pixel draws, so
+        dropping one is harmless.
+        """
+        for _ in range(5):
+            loader.pause_replacing()
+            fetched = [next(loader_iter) for _ in range(k)]
+            loader.continue_replacing()
+            pool, grids = fetched[0][1], fetched[0][2]
+            if all(f[1] is pool and f[2] is grids for f in fetched[1:]):
+                batches = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[f[0] for f in fetched])
+                return batches, pool, grids
+        raise RuntimeError("pool snapshot kept changing mid-chunk; replacer pause gate broken?")
 
     # --------------------------------------------------------------- validate
 
