@@ -473,6 +473,42 @@ class DataLoader:
             self._pool_cache = (self._pool_version, snapshot)
         return self._pool_cache[1]
 
+    def next_training_chunk(self, k: int):
+        """K consistent training batches + ONE pool snapshot, for chunked
+        dispatch (--tpu.steps_per_dispatch; trainer._fetch_chunk).
+
+        All K batches are drawn under a single `data_lock` hold, so the
+        replacer (whose pool writes also take `data_lock`) can never swap an
+        entry between two of them — the chunk is exactly as consistent as one
+        `__next__` batch, with no replacer pausing (a paused-gate design
+        starves: the replacer's seconds-long image load is gated only at its
+        loop top, so an in-flight load commits mid-window every time).
+
+        → (HostBatch with leading axis K on every leaf, PoolArrays, grids).
+        """
+        assert self.mode == DataLoader.Mode.TRAINING, "chunks are a training-stream feature"
+        from humanrf_tpu import native
+
+        R = self.batch_size
+        buffer_idx = self.rng.integers(0, self.buffer_size, size=k * R).astype(np.int32)
+        pixel_idx = self.rng.integers(0, self.num_pixels_per_camera, size=k * R).astype(np.int32)
+        with self.data_lock:
+            rgba, light_ok = native.gather(
+                self.pixel_rgba,
+                self.light_ok if self.filter_light_bloom else None,
+                buffer_idx,
+                pixel_idx,
+            )
+            pool = self.pool_arrays()
+            grids = self.device_grids
+        batch = HostBatch(
+            buffer_idx=jnp.asarray(buffer_idx.reshape(k, R)),
+            pixel_idx=jnp.asarray(pixel_idx.reshape(k, R)),
+            rgba=jnp.asarray(rgba.reshape(k, R, 4)),
+            ray_light_ok=jnp.asarray(light_ok.reshape(k, R)),
+        )
+        return batch, pool, grids
+
     def __next__(self):
         """→ (HostBatch, PoolArrays, grids, BatchInfo)."""
         M = DataLoader.Mode

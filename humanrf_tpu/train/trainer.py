@@ -339,26 +339,11 @@ class Trainer:
         self.writer.close()
 
     def _fetch_chunk(self, loader: DataLoader, loader_iter, k: int):
-        """Fetch K training batches sharing one consistent pool snapshot.
-
-        The loader pairs each batch with the pool/grids snapshot it was
-        gathered under (data/loader.py:496-505); a chunk needs all K to share
-        one, so replacement is paused for the (host-side, ~ms) fetch — the
-        replacer still runs during the chunk's (device-side, ~seconds)
-        execution. A replacement already past the pause gate can slip between
-        two fetches (pool identity changes mid-chunk); that rare chunk is
-        discarded and refetched — training batches are i.i.d. pixel draws, so
-        dropping one is harmless.
-        """
-        for _ in range(5):
-            loader.pause_replacing()
-            fetched = [next(loader_iter) for _ in range(k)]
-            loader.continue_replacing()
-            pool, grids = fetched[0][1], fetched[0][2]
-            if all(f[1] is pool and f[2] is grids for f in fetched[1:]):
-                batches = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[f[0] for f in fetched])
-                return batches, pool, grids
-        raise RuntimeError("pool snapshot kept changing mid-chunk; replacer pause gate broken?")
+        """Fetch K training batches sharing one consistent pool snapshot —
+        a single data_lock hold in the loader (data/loader.py:
+        next_training_chunk), so the replacer keeps running at full rate and
+        can still never swap a pool entry mid-chunk."""
+        return loader.next_training_chunk(k)
 
     # --------------------------------------------------------------- validate
 
