@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import subprocess
 import sys
@@ -33,7 +34,7 @@ CONFIGS = {
     # name: (field_backend, log2_hashmap, n_levels, n_features, extra_flags)
     # Cheap one-hot configs first; the reference-capacity gather run last
     # (it is ~10x slower — gathers cost ~10ns/element on TPU, PERF.md).
-    "onehot-2048-L8F4": ("onehot", 17, 8, 4, []),   # the benched flagship
+    "onehot-2048-L8F4": ("onehot", 17, 8, 4, []),   # the round-2 benched flagship
     "onehot-1024-L8F4": ("onehot", 16, 8, 4, []),
     "onehot-2048-L16F2": ("onehot", 17, 16, 2, []),
     # Two-level proposal cascade: half the fine samples (Kf=8 via a second
@@ -43,20 +44,31 @@ CONFIGS = {
         ["--tpu.proposal_mid_samples_per_ray", "16", "--tpu.render_samples_per_ray", "8"],
     ),
     "gather-2^18-L16F2": ("gather", 24, 16, 2, []),
+    # At-scale pair (use with --size 384 --frames 25 --steps 5000): the fused
+    # flagship at per-frame flagship capacity (log2 13 → T=2048 at 25-frame
+    # segments) vs the reference-capacity gather control (log2 24 → 2^22 at
+    # 25-frame segments — the same per-frame capacity the reference's
+    # example_humanrf accounting yields).
+    "fused-flagship": ("fused", 13, 8, 4, []),
+    "gather-ref-capacity": ("gather", 24, 16, 2, []),
 }
 
 
-def make_scene(root: Path) -> None:
+def make_scene(root: Path, width: int, height: int, num_frames: int) -> None:
     from humanrf_tpu.core.synthetic import SyntheticSceneConfig, generate_synthetic_dataset
 
+    # Motion scaled so ≥25-frame sequences cross the occupancy-union expansion
+    # threshold and adaptive partitioning emits ≥2 segments (full_schedule_run
+    # uses 0.16 total travel over 50 frames for [25, 25]).
+    travel = 0.06 if num_frames <= 2 else 0.16 * (num_frames / 50.0)
     cfg = SyntheticSceneConfig(
         num_cameras=12,
-        width=192,
-        height=192,
-        num_frames=2,
+        width=width,
+        height=height,
+        num_frames=num_frames,
         sphere_radius=0.3,
-        center_start=(0.0, 0.0, -0.03),
-        center_end=(0.0, 0.0, 0.03),
+        center_start=(0.0, 0.0, -travel / 2),
+        center_end=(0.0, 0.0, travel / 2),
         grid_resolution=128,
         texture_frequency=30.0,  # high-frequency surface detail
         num_rods=12,             # thin sub-voxel structures
@@ -66,10 +78,16 @@ def make_scene(root: Path) -> None:
     generate_synthetic_dataset(root, cfg)
 
 
-def run_config(name: str, scene: Path, work: Path, steps: int, extra: list[str]) -> dict:
+def run_config(
+    name: str, scene: Path, work: Path, steps: int, extra: list[str],
+    frames: int = 2, chunk: int = 1,
+) -> dict:
     backend, log2, levels, feats, cfg_extra = CONFIGS[name]
     extra = cfg_extra + extra
     ws = work / name
+    validate_every = max(steps // 4, 1)
+    if chunk > 1:
+        validate_every = max(validate_every - validate_every % chunk, chunk)
     cmd = [
         sys.executable, "-m", "humanrf_tpu.run",
         "--config", "example_synthetic",
@@ -84,17 +102,30 @@ def run_config(name: str, scene: Path, work: Path, steps: int, extra: list[str])
         "--tpu.proposal_samples_per_ray", "32",
         "--tpu.render_samples_per_ray", "16",
         "--tpu.candidate_rays_factor", "2",
+        "--tpu.steps_per_dispatch", str(chunk),
         "--training.max_steps", str(steps),
         "--training.rays_initial_batch_size", "4096",
-        "--training.save_checkpoint_every_n_steps", str(max(steps // 2, 1)),
-        "--validation.every_n_steps", str(max(steps // 4, 1)),
+        "--training.save_checkpoint_every_n_steps", str(validate_every),
+        "--validation.every_n_steps", str(validate_every),
         "--validation.rays_batch_size", "16384",
+        "--dataset.frame_numbers", *[str(i) for i in range(frames)],
     ] + extra
+    if frames > 2:
+        cmd += [
+            "--model.temporal_partitioning", "adaptive",
+            "--model.camera_embedding_dim", "2",
+            "--dataset.max_buffer_size", "48",
+            "--dataset.max_num_frames_per_batch", "8",
+        ]
     t0 = time.time()
     ws.mkdir(parents=True, exist_ok=True)
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache_tpu"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     log = ws / "driver.log"
     with open(log, "w") as lf:
-        proc = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT, text=True, cwd=REPO)
+        proc = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT, text=True, cwd=REPO, env=env)
     elapsed = time.time() - t0
     result = {"name": name, "wall_s": round(elapsed, 1), "rc": proc.returncode}
     if proc.returncode != 0:
@@ -128,6 +159,9 @@ def main():
     ap.add_argument("--root", type=Path, default=Path("/tmp/quality_sweep"))
     ap.add_argument("--out", type=Path, default=Path("/tmp/quality_sweep/results.json"))
     ap.add_argument("--only", nargs="*", default=None, help="subset of config names")
+    ap.add_argument("--size", type=int, default=192, help="image width=height")
+    ap.add_argument("--frames", type=int, default=2, help=">2 enables adaptive multi-segment")
+    ap.add_argument("--chunk", type=int, default=1, help="--tpu.steps_per_dispatch")
     ap.add_argument(
         "--extra", type=str, default="",
         help="extra CLI flags passed through (single string, whitespace-split; "
@@ -137,13 +171,16 @@ def main():
 
     scene = args.root / "scene"
     if not (scene / "SynthActor").exists():
-        print("# generating scene ...", flush=True)
-        make_scene(scene)
+        print(f"# generating {args.size}^2 x {args.frames}-frame scene ...", flush=True)
+        make_scene(scene, args.size, args.size, args.frames)
 
     results = []
     for name in args.only or CONFIGS:
         print(f"# running {name} ({args.steps} steps) ...", flush=True)
-        r = run_config(name, scene, args.root / "runs", args.steps, args.extra.split())
+        r = run_config(
+            name, scene, args.root / "runs", args.steps, args.extra.split(),
+            frames=args.frames, chunk=args.chunk,
+        )
         print(json.dumps(r), flush=True)
         results.append(r)
         args.out.parent.mkdir(parents=True, exist_ok=True)
