@@ -15,6 +15,13 @@ Concurrency structure mirrors the reference one-for-one:
 - an `empty/available` semaphore pair implements producer-consumer for
   sequential full-image rendering in VALIDATION/TEST (`:333-335`)
 
+One deliberate divergence: worker threads (replacer, preload pool) are
+JAX-FREE — they stage host-side numpy and queue grid uploads; the consumer
+thread performs all device dispatch (`_queue_grid_slot` /
+`_resolve_pending_grids`). The reference uploads CUDA textures from its
+loader thread (`occupancy_grid.cu`); through JAX's experimental remote-TPU
+client, concurrent dispatch from two host threads is a wedge hazard.
+
 Occupancy grids live in a device-resident pool of *corner-dilated* boolean
 grids (see ops/occupancy.py) — the TPU replacement for the CUDA 3D-texture
 ring buffer (`occupancy_grid.cu:8-95`), updated in place via a donated
@@ -215,6 +222,12 @@ class DataLoader:
             self.frame_to_grid_slot = {}
             self.grid_lock = threading.Lock()
 
+        # Grid uploads queued by producer threads (replacer / preload pool) and
+        # executed by the CONSUMER thread: (buffer_index, frame_number) pairs.
+        # Worker threads never touch JAX — the remote TPU client only ever sees
+        # single-threaded dispatch (see _queue_grid_slot / _resolve_pending_grids).
+        self._pending_grid_entries: List[Tuple[int, int]] = []
+
         self.data_lock = threading.Lock()
         self.replacer_event = threading.Event()
         self.replacer_event.clear()
@@ -302,10 +315,11 @@ class DataLoader:
         observed failure mode is a hard `Fatal Python error` when a daemon
         thread holding XLA state is killed mid-call at interpreter exit).
 
-        The replacer checks `_shutdown` before every blocking wait AND before
-        every JAX call (`_load_and_copy_camera_frame_data`,` _upload_grid`),
-        so after the event is set it reaches a checkpoint within one image
-        load; the join below then completes promptly. Idempotent."""
+        The replacer is JAX-free (grid uploads are queued for the consumer
+        thread, `_queue_grid_slot`) and checks `_shutdown` before every
+        blocking wait, so after the event is set it reaches a checkpoint
+        within one image load; the join below then completes promptly.
+        Idempotent."""
         import atexit
 
         atexit.unregister(self.shutdown)  # drop the registry's reference
@@ -355,8 +369,58 @@ class DataLoader:
         self._load_and_copy_camera_frame_data(pair, self.pair_load_index % self.buffer_size, None)
         self.pair_load_index += 1
 
+    def _queue_grid_slot(self, buffer_index: int, frame_number: int) -> int:
+        """Producer-side grid-slot assignment WITHOUT touching JAX.
+
+        Returns the frame's existing device slot when one is registered
+        (training-mode memoization), else queues the upload for the consumer
+        thread and returns -1 (pending). `_resolve_pending_grids` — called by
+        every consumer fetch under `data_lock` before the pool snapshot — does
+        the actual `jnp` upload, so a batch can never observe a -1 slot.
+
+        Rationale: the replacer/preload threads used to call `_upload_grid`
+        (jnp.asarray + two jits) directly; through the experimental remote-TPU
+        client, device dispatch from a worker thread concurrent with the
+        training thread's step dispatch is a wedge hazard (observed: a 50k-step
+        run hard-stalled mid-training with both threads busy-polling). With
+        this queue, only the consumer thread ever dispatches to the device.
+        """
+        with self.grid_lock:
+            if self.mode == DataLoader.Mode.TRAINING and frame_number in self.frame_to_grid_slot:
+                return self.frame_to_grid_slot[frame_number]
+            self._pending_grid_entries.append((buffer_index, frame_number))
+        return -1
+
+    def _resolve_pending_grids(self) -> None:
+        """Consumer-side: upload every queued grid and patch the pool's slot
+        column. Called under `data_lock` (so the replacer cannot commit a new
+        entry mid-resolve) before `pool_arrays()` snapshots the pool."""
+        with self.grid_lock:
+            if not self._pending_grid_entries:
+                return
+            pending, self._pending_grid_entries = self._pending_grid_entries, []
+            for buffer_index, frame_number in pending:
+                if self.mode == DataLoader.Mode.TRAINING:
+                    # The entry (or a sibling with the same frame) may have been
+                    # replaced since queuing; only upload grids of live frames.
+                    live = self.entry_frame_numbers == frame_number
+                    if not live.any():
+                        continue
+                    self.entry_grid_slots[live] = self._upload_grid(frame_number)
+                else:
+                    # VALIDATION/TEST: one fresh slot per queued image, in load
+                    # order (the semaphore pair guarantees the entry is still
+                    # current when its first batch is consumed).
+                    slot = self._upload_grid(frame_number)
+                    if self.entry_frame_numbers[buffer_index] == frame_number:
+                        self.entry_grid_slots[buffer_index] = slot
+            self._pool_version += 1  # grid-slot column changed
+
     def _upload_grid(self, frame_number: int) -> int:
-        """Upload (and dilate) a grid into a device slot; returns the slot."""
+        """Upload (and dilate) a grid into a device slot; returns the slot.
+
+        Consumer thread only, caller holds `grid_lock` (JAX dispatch must stay
+        single-threaded through the remote client — see `_queue_grid_slot`)."""
         if frame_number in self.frame_to_grid_slot:
             return self.frame_to_grid_slot[frame_number]
         grid = self.dataset.get_occupancy_grid(frame_number)
@@ -403,8 +467,10 @@ class DataLoader:
 
         if self.run_replacer_thread and self.mode != DataLoader.Mode.TRAINING:
             self.empty_slots_sem.acquire()
-        # No JAX work past this point once shutdown has begun: the interpreter
-        # must never tear down while this (daemon) thread is inside XLA.
+        # This thread does no JAX work at all (grid uploads are queued for the
+        # consumer, `_queue_grid_slot`): the interpreter can never tear down
+        # while a worker thread is inside XLA, and the remote-TPU client only
+        # ever sees single-threaded dispatch.
         if self._shutdown.is_set():
             return
 
@@ -413,8 +479,7 @@ class DataLoader:
         try:
             grid_slot = 0
             if self.space_pruning_mode == DataLoader.SpacePruningMode.OCCUPANCY_GRID:
-                with self.grid_lock:
-                    grid_slot = self._upload_grid(frame_number)
+                grid_slot = self._queue_grid_slot(buffer_index, frame_number)
 
             if self.mode != DataLoader.Mode.TEST:
                 self.pixel_rgba[buffer_index] = rgba
@@ -493,6 +558,7 @@ class DataLoader:
         buffer_idx = self.rng.integers(0, self.buffer_size, size=k * R).astype(np.int32)
         pixel_idx = self.rng.integers(0, self.num_pixels_per_camera, size=k * R).astype(np.int32)
         with self.data_lock:
+            self._resolve_pending_grids()
             rgba, light_ok = native.gather(
                 self.pixel_rgba,
                 self.light_ok if self.filter_light_bloom else None,
@@ -530,6 +596,7 @@ class DataLoader:
             buffer_idx = self.rng.integers(0, self.buffer_size, size=R).astype(np.int32)
             pixel_idx = self.rng.integers(0, self.num_pixels_per_camera, size=R).astype(np.int32)
             with self.data_lock:
+                self._resolve_pending_grids()
                 rgba, light_ok = native.gather(
                     self.pixel_rgba,
                     self.light_ok if self.filter_light_bloom else None,
@@ -553,6 +620,7 @@ class DataLoader:
                 self.available_slots_sem.acquire()
 
             with self.data_lock:
+                self._resolve_pending_grids()
                 if not self.entry_landscape[buffer_index]:
                     width, height = height, width  # portrait image
                 pixel_idx = np.arange(ray_start, ray_end, dtype=np.int32)

@@ -29,6 +29,9 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from run_supervisor import supervise  # noqa: E402
 
 
 def make_scene(root: Path, num_frames: int, width: int, height: int) -> None:
@@ -95,7 +98,22 @@ def main():
     # The reference default (args/run_args.py:27).
     ap.add_argument("--rays", type=int, default=8192)
     ap.add_argument("--steps-per-dispatch", type=int, default=10)
+    ap.add_argument("--validate-every", type=int, default=2500)
     ap.add_argument("--scene-only", action="store_true")
+    ap.add_argument(
+        "--smoke", action="store_true",
+        help="pipeline shakeout: skip the trajectory/evaluate phases (train+validate only)",
+    )
+    # Watchdog: the axon TPU tunnel can die mid-run, leaving the child wedged
+    # in a remote call forever (observed: 50 min at step 840, idle tunnel
+    # thread, two busy-polling host threads). Supervise: if the child's log
+    # stops growing for --stall-timeout seconds, kill it, wait for the tunnel
+    # to answer a probe again, and relaunch (--training.checkpoint latest
+    # resumes from the newest checkpoint).
+    ap.add_argument("--stall-timeout", type=float, default=1500.0,
+                    help="seconds of zero log growth before the child is declared wedged "
+                         "(must exceed the worst cold tunnel compile, ~10 min)")
+    ap.add_argument("--max-restarts", type=int, default=12)
     args = ap.parse_args()
 
     scene = args.root / "scene"
@@ -136,19 +154,22 @@ def main():
         # The reference schedule.
         "--training.max_steps", str(args.steps),
         "--training.rays_initial_batch_size", str(args.rays),
-        "--training.save_checkpoint_every_n_steps", "2500",
+        "--training.save_checkpoint_every_n_steps", str(args.validate_every),
         "--training.checkpoint", "latest",  # resumable
-        "--validation.every_n_steps", "2500",
+        "--validation.every_n_steps", str(args.validate_every),
         "--validation.rays_batch_size", "16384",
         "--validation.repeat_cameras", "1",
         "--dataset.frame_numbers", *[str(i) for i in range(args.frames)],
         "--dataset.max_buffer_size", "48",
         "--dataset.max_num_frames_per_batch", "8",
-        # Trajectory test render + evaluation phase (best checkpoint).
-        "--test.trajectory_via_calibration_file",
-        str(scene / "SynthActor" / "Sequence1" / "1x" / "calibration.csv"),
-        "--evaluate", "true",
     ]
+    if not args.smoke:
+        # Trajectory test render + evaluation phase (best checkpoint).
+        cmd += [
+            "--test.trajectory_via_calibration_file",
+            str(scene / "SynthActor" / "Sequence1" / "1x" / "calibration.csv"),
+            "--evaluate", "true",
+        ]
     print("# launching:", " ".join(cmd), flush=True)
     t0 = time.time()
     log = ws / "driver.log"
@@ -158,12 +179,13 @@ def main():
     env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache_tpu"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-    with open(log, "a") as lf:
-        proc = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT, text=True, cwd=REPO, env=env)
+    rc, restarts = supervise(
+        cmd, log, env, REPO, stall_timeout=args.stall_timeout, max_restarts=args.max_restarts
+    )
     elapsed = time.time() - t0
 
-    result = {"rc": proc.returncode, "wall_s": round(elapsed, 1), "segment_sizes": sizes}
-    if proc.returncode == 0:
+    result = {"rc": rc, "wall_s": round(elapsed, 1), "segment_sizes": sizes, "restarts": restarts}
+    if rc == 0:
         result["validation_blocks"] = summarize_validation(ws)
     else:
         result["tail"] = log.read_text()[-2000:]

@@ -22,13 +22,15 @@ import argparse
 import json
 import os
 import re
-import subprocess
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from run_supervisor import supervise  # noqa: E402
 
 CONFIGS = {
     # name: (field_backend, log2_hashmap, n_levels, n_features, extra_flags)
@@ -105,6 +107,7 @@ def run_config(
         "--tpu.steps_per_dispatch", str(chunk),
         "--training.max_steps", str(steps),
         "--training.rays_initial_batch_size", "4096",
+        "--training.checkpoint", "latest",  # resumable across watchdog restarts
         "--training.save_checkpoint_every_n_steps", str(validate_every),
         "--validation.every_n_steps", str(validate_every),
         "--validation.rays_batch_size", "16384",
@@ -124,11 +127,12 @@ def run_config(
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     log = ws / "driver.log"
-    with open(log, "w") as lf:
-        proc = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT, text=True, cwd=REPO, env=env)
+    # Long gather-control runs (~hours) need the tunnel-stall watchdog; the
+    # child resumes from its newest checkpoint on relaunch.
+    rc, restarts = supervise(cmd, log, env, REPO, stall_timeout=1500.0, max_restarts=4)
     elapsed = time.time() - t0
-    result = {"name": name, "wall_s": round(elapsed, 1), "rc": proc.returncode}
-    if proc.returncode != 0:
+    result = {"name": name, "wall_s": round(elapsed, 1), "rc": rc, "restarts": restarts}
+    if rc != 0:
         result["tail"] = log.read_text()[-1500:]
         return result
 

@@ -1,6 +1,8 @@
 """Data-loader paths not covered by the square-image e2e tests: mixed
 landscape/portrait rigs, center-square cropping, light-bloom filtering."""
 import csv
+import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -228,3 +230,78 @@ def test_loader_churn_teardown(mixed_dataset):
     # No stray loader worker threads left anywhere.
     names = [t.name for t in threading.enumerate()]
     assert not any("_replace_next_buffer_entry" in n for n in names)
+
+
+def test_worker_threads_never_dispatch_jax(mixed_dataset):
+    """The replacer/preload threads must be JAX-free: every `_upload_grid`
+    (the only device-dispatching pool operation) runs on the consumer thread.
+
+    Through the experimental remote-TPU client, device dispatch from a worker
+    thread concurrent with the training thread's step dispatch can wedge the
+    whole process (observed on a 50k-step run) — so this is a load-bearing
+    invariant, not a style preference."""
+    data_dir, _ = mixed_dataset
+    upload_threads = []
+    orig = DataLoader._upload_grid
+
+    def recording_upload(self, frame_number):
+        upload_threads.append(threading.current_thread())
+        return orig(self, frame_number)
+
+    DataLoader._upload_grid = recording_upload
+    try:
+        # TRAINING with 2 frames → buffer < pairs → free-running replacer.
+        loader = _make_loader(data_dir)
+        assert loader.run_replacer_thread
+        it = iter(loader)  # starts iternum accounting + unpauses the replacer
+        deadline = time.time() + 20.0
+        churned = False
+        for _ in range(200):
+            batch, pool, grids, info = next(it)
+            # Pending slots must be resolved before the snapshot: a consumed
+            # batch can never observe the -1 placeholder. (The live pool MAY
+            # transiently hold -1 between fetches — the replacer commits the
+            # placeholder and the next consumer fetch resolves it — so only
+            # the snapshot is asserted.)
+            assert int(np.asarray(pool.grid_slots).min()) >= 0
+            # Stop once the replacer has demonstrably cycled new pairs in.
+            if loader.pair_load_index > loader.buffer_size + 4:
+                churned = True
+                break
+            if time.time() > deadline:
+                break
+        loader.shutdown()
+        assert churned, "replacer never replaced an entry; test exercised nothing"
+        assert upload_threads, "no grid was ever uploaded"
+        main = threading.main_thread()
+        offenders = {t.name for t in upload_threads if t is not main}
+        assert not offenders, f"grid uploads ran on worker threads: {offenders}"
+    finally:
+        DataLoader._upload_grid = orig
+
+
+def test_validation_pending_grids_resolved_before_consumption(mixed_dataset):
+    """VALIDATION mode: grid uploads queued by the replacer are resolved by
+    the consumer before the image's first batch is used."""
+    data_dir, _ = mixed_dataset
+    ds = VolumetricDataset(data_dir, crop_center_square=False)
+    seq = [(0, 0), (1, 0), (3, 1), (4, 1)]
+    loader = DataLoader(
+        dataset=ds,
+        mode=DataLoader.Mode.VALIDATION,
+        dataloader_output_mode=DataLoader.OutputMode.RAYS_AND_SAMPLES,
+        space_pruning_mode=DataLoader.SpacePruningMode.OCCUPANCY_GRID,
+        batch_size=256,
+        camera_numbers=tuple(range(6)),
+        frame_numbers=(0, 1),
+        max_buffer_size=2,
+        use_mask=True,
+        filter_light_bloom=False,
+        render_sequence=seq,
+    )
+    assert loader.run_replacer_thread
+    it = iter(loader)
+    for _ in range(2 * loader.num_batches_per_full_image):
+        batch, pool, grids, info = next(it)
+        assert int(np.asarray(pool.grid_slots).min()) >= 0
+    loader.shutdown()
