@@ -31,7 +31,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
-from run_supervisor import supervise  # noqa: E402
+from run_supervisor import BUDGET_RC, supervise  # noqa: E402
 
 
 def make_scene(root: Path, num_frames: int, width: int, height: int) -> None:
@@ -68,6 +68,8 @@ def check_segments(scene: Path, num_frames: int) -> list:
 
 def summarize_validation(ws: Path) -> list:
     """Per-validation-block mean PSNR/SSIM from validation.txt."""
+    if not (ws / "validation.txt").exists():
+        return []
     txt = (ws / "validation.txt").read_text()
     blocks = []
     for block in txt.split("Step: ")[1:]:
@@ -114,6 +116,12 @@ def main():
                     help="seconds of zero log growth before the child is declared wedged "
                          "(must exceed the worst cold tunnel compile, ~10 min)")
     ap.add_argument("--max-restarts", type=int, default=12)
+    ap.add_argument(
+        "--deadline-epoch", type=float, default=None,
+        help="absolute wall-clock budget (epoch seconds); on expiry the child "
+        "is stopped, result.json carries partial=true + the validation "
+        "trajectory so far, and the run stays resumable",
+    )
     args = ap.parse_args()
 
     scene = args.root / "scene"
@@ -180,15 +188,21 @@ def main():
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     rc, restarts = supervise(
-        cmd, log, env, REPO, stall_timeout=args.stall_timeout, max_restarts=args.max_restarts
+        cmd, log, env, REPO, stall_timeout=args.stall_timeout,
+        max_restarts=args.max_restarts, deadline=args.deadline_epoch,
     )
     elapsed = time.time() - t0
 
     result = {"rc": rc, "wall_s": round(elapsed, 1), "segment_sizes": sizes, "restarts": restarts}
     if rc == 0:
         result["validation_blocks"] = summarize_validation(ws)
+    elif rc == BUDGET_RC:
+        # Wall-clock budget expired: partial but resumable — report the
+        # validation trajectory reached so far.
+        result["partial"] = True
+        result["validation_blocks"] = summarize_validation(ws)
     else:
-        result["tail"] = log.read_text()[-2000:]
+        result["tail"] = log.read_text()[-2000:] if log.exists() else ""
     out = args.root / "result.json"
     out.write_text(json.dumps(result, indent=2))
     print(json.dumps(result, indent=2))

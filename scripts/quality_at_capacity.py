@@ -30,7 +30,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
-from run_supervisor import supervise  # noqa: E402
+from run_supervisor import BUDGET_RC, supervise  # noqa: E402
 
 CONFIGS = {
     # name: (field_backend, log2_hashmap, n_levels, n_features, extra_flags)
@@ -82,7 +82,7 @@ def make_scene(root: Path, width: int, height: int, num_frames: int) -> None:
 
 def run_config(
     name: str, scene: Path, work: Path, steps: int, extra: list[str],
-    frames: int = 2, chunk: int = 1,
+    frames: int = 2, chunk: int = 1, deadline: float | None = None,
 ) -> dict:
     backend, log2, levels, feats, cfg_extra = CONFIGS[name]
     extra = cfg_extra + extra
@@ -129,11 +129,19 @@ def run_config(
     log = ws / "driver.log"
     # Long gather-control runs (~hours) need the tunnel-stall watchdog; the
     # child resumes from its newest checkpoint on relaunch.
-    rc, restarts = supervise(cmd, log, env, REPO, stall_timeout=1500.0, max_restarts=4)
+    rc, restarts = supervise(
+        cmd, log, env, REPO, stall_timeout=1500.0, max_restarts=4, deadline=deadline
+    )
     elapsed = time.time() - t0
     result = {"name": name, "wall_s": round(elapsed, 1), "rc": rc, "restarts": restarts}
-    if rc != 0:
-        result["tail"] = log.read_text()[-1500:]
+    if rc == BUDGET_RC:
+        # Wall-clock budget expired: report the best validation block reached
+        # so far (the run checkpoints at every validation, so it is resumable).
+        result["partial"] = True
+    elif rc != 0:
+        result["tail"] = log.read_text()[-1500:] if log.exists() else ""
+        return result
+    if not (ws / "validation.txt").exists():
         return result
 
     # Best validation epoch (the protocol the reference's best-checkpoint
@@ -144,6 +152,7 @@ def run_config(
     for block in txt.split("Step: ")[1:]:
         lines = block.splitlines()
         step_no = int(lines[0].strip())
+        result["last_val_step"] = step_no
         psnr = [float(m.group(1)) for ln in lines[1:] if (m := re.search(r"psnr=([\d.]+)", ln))]
         ssim = [float(m.group(1)) for ln in lines[1:] if (m := re.search(r"ssim=([\d.]+)", ln))]
         if psnr and sum(psnr) / len(psnr) > best["psnr"]:
@@ -171,6 +180,12 @@ def main():
         help="extra CLI flags passed through (single string, whitespace-split; "
         "argparse cannot take ---prefixed tokens via nargs)",
     )
+    ap.add_argument(
+        "--deadline-epoch", type=float, default=None,
+        help="absolute wall-clock budget (epoch seconds) shared by the whole "
+        "sweep; a config cut off by it reports its best validation block so "
+        "far with partial=true",
+    )
     args = ap.parse_args()
 
     scene = args.root / "scene"
@@ -183,7 +198,7 @@ def main():
         print(f"# running {name} ({args.steps} steps) ...", flush=True)
         r = run_config(
             name, scene, args.root / "runs", args.steps, args.extra.split(),
-            frames=args.frames, chunk=args.chunk,
+            frames=args.frames, chunk=args.chunk, deadline=args.deadline_epoch,
         )
         print(json.dumps(r), flush=True)
         results.append(r)

@@ -14,6 +14,10 @@ import sys
 import time
 from pathlib import Path
 
+# Returned by supervise() when the wall-clock budget (deadline) expires: the
+# run is partial but resumable, not failed. 124 matches coreutils timeout(1).
+BUDGET_RC = 124
+
 
 def tunnel_alive(timeout: float = 240.0) -> bool:
     """Probe the TPU through the tunnel with a tiny matmul in a fresh process."""
@@ -54,6 +58,7 @@ def supervise(
     probe=tunnel_alive,
     probe_retry_s: float = 180.0,
     poll_s: float = 30.0,
+    deadline: float | None = None,
 ):
     """Run `cmd` to completion, restarting it when the tunnel wedges it.
 
@@ -62,9 +67,17 @@ def supervise(
     `stall_timeout` must exceed that). On stall: kill, wait until
     `tunnel_alive()`, relaunch — the run resumes from its newest checkpoint
     when launched with `--training.checkpoint latest`.
+
+    `deadline` (absolute epoch seconds): wall-clock budget. When it passes,
+    the child is killed and (BUDGET_RC, restarts) is returned — the run is
+    *partial*, not failed; with checkpoint-every-validation it remains
+    resumable, and callers should summarize whatever validation blocks exist.
     Returns (rc, restarts)."""
     restarts = 0
     while probe_first and not probe():
+        if deadline is not None and time.time() > deadline:
+            print("# WATCHDOG: deadline passed while waiting for the tunnel", flush=True)
+            return BUDGET_RC, restarts
         print(f"# WATCHDOG: tunnel dead before first launch; retrying in {probe_retry_s:.0f}s", flush=True)
         time.sleep(probe_retry_s)
     while True:
@@ -77,6 +90,10 @@ def supervise(
                     break
                 except subprocess.TimeoutExpired:
                     pass
+                if deadline is not None and time.time() > deadline:
+                    print("# WATCHDOG: wall-clock budget exhausted — stopping child (partial, resumable)", flush=True)
+                    _kill_tree(proc)
+                    return BUDGET_RC, restarts
                 size = log.stat().st_size
                 if size != last_size:
                     last_size, last_growth = size, time.time()
@@ -94,6 +111,9 @@ def supervise(
         reason = "stall" if rc is None else f"rc={rc}"
         print(f"# WATCHDOG: restart {restarts}/{max_restarts} ({reason}); probing tunnel ...", flush=True)
         while not probe():
+            if deadline is not None and time.time() > deadline:
+                print("# WATCHDOG: deadline passed while waiting for the tunnel", flush=True)
+                return BUDGET_RC, restarts
             print(f"# WATCHDOG: tunnel still dead; retrying in {probe_retry_s:.0f}s", flush=True)
             time.sleep(probe_retry_s)
         print("# WATCHDOG: tunnel healthy — relaunching (resumes from latest checkpoint)", flush=True)

@@ -12,7 +12,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
-from run_supervisor import supervise  # noqa: E402
+from run_supervisor import BUDGET_RC, supervise  # noqa: E402
 
 PY = sys.executable
 
@@ -68,6 +68,42 @@ def test_wedged_child_is_killed_and_relaunched(tmp_path):
     log = (tmp_path / "log.txt").read_text()
     assert log.count("started") == 2
     assert "resumed ok" in log
+
+
+def test_deadline_stops_running_child_with_budget_rc(tmp_path):
+    """A child still running when the wall-clock budget expires is killed and
+    supervise returns BUDGET_RC (partial, resumable) — not a failure rc."""
+    child = (
+        "import time\n"
+        "print('started', flush=True)\n"
+        "for i in range(600):\n"
+        "    time.sleep(1)\n"
+        "    print('tick', i, flush=True)  # log keeps growing: never a stall\n"
+    )
+    t0 = time.time()
+    rc, restarts = supervise(
+        [PY, "-c", child],
+        tmp_path / "log.txt", dict(os.environ), tmp_path,
+        stall_timeout=300.0, max_restarts=2, probe_first=False,
+        probe=lambda: True, poll_s=0.2,
+        deadline=time.time() + 8.0,  # > interpreter startup (sitecustomize jax)
+    )
+    assert rc == BUDGET_RC
+    assert restarts == 0
+    assert time.time() - t0 < 60.0
+    assert "started" in (tmp_path / "log.txt").read_text()
+
+
+def test_deadline_respected_while_probing_dead_tunnel(tmp_path):
+    rc, restarts = supervise(
+        [PY, "-c", "print('never runs')"],
+        tmp_path / "log.txt", dict(os.environ), tmp_path,
+        stall_timeout=30.0, max_restarts=2, probe_first=True,
+        probe=lambda: False, probe_retry_s=0.2, poll_s=0.2,
+        deadline=time.time() + 1.0,
+    )
+    assert rc == BUDGET_RC
+    assert not (tmp_path / "log.txt").exists() or "never runs" not in (tmp_path / "log.txt").read_text()
 
 
 def test_gives_up_after_max_restarts(tmp_path):
