@@ -386,7 +386,7 @@ class DataLoader:
         this queue, only the consumer thread ever dispatches to the device.
         """
         with self.grid_lock:
-            if self.mode == DataLoader.Mode.TRAINING and frame_number in self.frame_to_grid_slot:
+            if frame_number in self.frame_to_grid_slot:
                 return self.frame_to_grid_slot[frame_number]
             self._pending_grid_entries.append((buffer_index, frame_number))
         return -1
@@ -399,21 +399,17 @@ class DataLoader:
             if not self._pending_grid_entries:
                 return
             pending, self._pending_grid_entries = self._pending_grid_entries, []
-            for buffer_index, frame_number in pending:
-                if self.mode == DataLoader.Mode.TRAINING:
-                    # The entry (or a sibling with the same frame) may have been
-                    # replaced since queuing; only upload grids of live frames.
-                    live = self.entry_frame_numbers == frame_number
-                    if not live.any():
-                        continue
-                    self.entry_grid_slots[live] = self._upload_grid(frame_number)
-                else:
-                    # VALIDATION/TEST: one fresh slot per queued image, in load
-                    # order (the semaphore pair guarantees the entry is still
-                    # current when its first batch is consumed).
-                    slot = self._upload_grid(frame_number)
-                    if self.entry_frame_numbers[buffer_index] == frame_number:
-                        self.entry_grid_slots[buffer_index] = slot
+            for _buffer_index, frame_number in pending:
+                # The entry (or a sibling with the same frame) may have been
+                # replaced since queuing; only upload grids of live frames.
+                # Per-frame memoization (all modes) means images sharing a
+                # frame share a slot — a fresh-slot-per-image scheme could
+                # cycle the small ring past a still-unconsumed image's grid
+                # when buffer_size exceeds the ring size.
+                live = self.entry_frame_numbers == frame_number
+                if not live.any():
+                    continue
+                self.entry_grid_slots[live] = self._upload_grid(frame_number)
             self._pool_version += 1  # grid-slot column changed
 
     def _upload_grid(self, frame_number: int) -> int:
@@ -431,8 +427,11 @@ class DataLoader:
             if s == slot:
                 self.frame_to_grid_slot.pop(fn)
         self.device_grids = _set_grid_slot(self.device_grids, slot, dilated)
-        if self.mode == DataLoader.Mode.TRAINING:
-            self.frame_to_grid_slot[frame_number] = slot
+        # Memoize in every mode: the ring has min(buffer, #frames) slots, so
+        # per-frame slots never overflow it, and VALIDATION/TEST images that
+        # share a frame share one resident grid instead of cycling the ring
+        # over a still-unconsumed image's slot.
+        self.frame_to_grid_slot[frame_number] = slot
         return slot
 
     def _load_and_copy_camera_frame_data(
@@ -528,12 +527,19 @@ class DataLoader:
         data_loader.py:261-309)."""
         if self._pool_cache is None or self._pool_cache[0] != self._pool_version:
             snapshot = PoolArrays(
-                inverse_krs=jnp.asarray(self.entry_inverse_krs),
-                camera_origins=jnp.asarray(self.entry_camera_origins),
-                landscape=jnp.asarray(self.entry_landscape),
-                frame_numbers=jnp.asarray(self.entry_frame_numbers),
-                camera_numbers=jnp.asarray(self.entry_camera_numbers),
-                grid_slots=jnp.asarray(self.entry_grid_slots),
+                # NB `.copy()` is load-bearing: on the CPU backend jnp.asarray
+                # can ALIAS the numpy buffer zero-copy, and the replacer
+                # mutates these entry arrays in place after the snapshot is
+                # returned — without the copy a consumed pool can observe a
+                # mid-commit -1 grid slot or torn camera row (caught by
+                # tests/test_loader_paths.py::test_worker_threads_never_dispatch_jax
+                # flaking). On TPU the device transfer copies anyway.
+                inverse_krs=jnp.asarray(self.entry_inverse_krs.copy()),
+                camera_origins=jnp.asarray(self.entry_camera_origins.copy()),
+                landscape=jnp.asarray(self.entry_landscape.copy()),
+                frame_numbers=jnp.asarray(self.entry_frame_numbers.copy()),
+                camera_numbers=jnp.asarray(self.entry_camera_numbers.copy()),
+                grid_slots=jnp.asarray(self.entry_grid_slots.copy()),
             )
             self._pool_cache = (self._pool_version, snapshot)
         return self._pool_cache[1]

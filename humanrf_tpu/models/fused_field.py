@@ -33,8 +33,9 @@ _GRID_AXES = (
 )
 _PARTNER_VECTOR = (3, 2, 0, 1)
 
-_CORNER_BITS = [tuple(((c >> d) & 1) for d in range(3)) for c in range(8)]
-_HASH_PRIMES = (1, 2654435761, 805459861)
+# Instant-NGP corner/hash conventions — single source of truth in
+# hash_encoding so fused-vs-onehot parity can't silently drift.
+from humanrf_tpu.models.hash_encoding import _CORNER_BITS, _HASH_PRIMES  # noqa: E402
 
 
 def _grid_corner_idx_w(pts, level_scales, level_resolutions, table_size: int):

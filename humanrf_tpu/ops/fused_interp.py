@@ -165,10 +165,10 @@ def _fused_interp_fwd(tables, idx, w, variant, tile_n, interpret):
 def _fused_interp_bwd(variant, tile_n, interpret, res, g):
     (P, F, T), idx, w = res
     _, C, N = idx.shape
-    idx = _pad_n(idx, tile_n)
-    w = _pad_n(w, tile_n)
-    g = _pad_n(g, tile_n)
-    n_pad = idx.shape[-1]
+    idx_p = _pad_n(idx, tile_n)
+    w_p = _pad_n(w, tile_n)
+    g_p = _pad_n(g, tile_n)
+    n_pad = idx_p.shape[-1]
     grid = (P, n_pad // tile_n)
     dtab = pl.pallas_call(
         functools.partial(_bwd_kernel, table_size=T, variant=variant),
@@ -181,8 +181,13 @@ def _fused_interp_bwd(variant, tile_n, interpret, res, g):
         out_specs=pl.BlockSpec((1, F, T), lambda p, i: (p, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((P, F, T), jnp.float32),
         interpret=interpret,
-    )(idx, w, g)
-    return dtab, jnp.zeros_like(idx), jnp.zeros_like(w)
+    )(idx_p, w_p, g_p)
+    # Cotangents must carry the PRIMAL shapes (not the tile-padded ones) —
+    # int32 idx gets a float0 cotangent per the custom_vjp convention.
+    import numpy as _np
+
+    didx = _np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return dtab, didx, jnp.zeros_like(w)
 
 
 fused_interp.defvjp(_fused_interp_fwd, _fused_interp_bwd)

@@ -286,7 +286,11 @@ class Trainer:
                 )
                 supervised_step = aux["num_rays_supervised"]
             else:
-                batch, pool, grids = self._fetch_chunk(training_data_loader, loader_iter, k)
+                # One data_lock hold fetches K batches sharing a consistent
+                # pool snapshot (data/loader.py:next_training_chunk): the
+                # replacer keeps running at full rate yet can never swap a
+                # pool entry mid-chunk.
+                batch, pool, grids = training_data_loader.next_training_chunk(k)
                 self.params, self.opt_state, losses, auxs = self.train_step_fn(
                     self.params, self.opt_state, batch, pool, grids, aabb, step_rng
                 )
@@ -337,13 +341,6 @@ class Trainer:
         if trace_active:
             jax.profiler.stop_trace()
         self.writer.close()
-
-    def _fetch_chunk(self, loader: DataLoader, loader_iter, k: int):
-        """Fetch K training batches sharing one consistent pool snapshot —
-        a single data_lock hold in the loader (data/loader.py:
-        next_training_chunk), so the replacer keeps running at full rate and
-        can still never swap a pool entry mid-chunk."""
-        return loader.next_training_chunk(k)
 
     # --------------------------------------------------------------- validate
 

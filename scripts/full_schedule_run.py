@@ -125,10 +125,23 @@ def main():
     args = ap.parse_args()
 
     scene = args.root / "scene"
-    if not (scene / "SynthActor").exists():
+    # Cache key includes the scene parameters: an existence-only check would
+    # silently reuse a stale scene after a --size/--frames change.
+    meta = {"size": args.size, "frames": args.frames}
+    meta_path = scene / "scene_meta.json"
+    cached = (
+        (scene / "SynthActor").exists()
+        and meta_path.exists()
+        and json.loads(meta_path.read_text()) == meta
+    )
+    if not cached:
+        import shutil
+
+        shutil.rmtree(scene, ignore_errors=True)
         print(f"# generating {args.size}^2 x {args.frames}-frame scene ...", flush=True)
         t0 = time.time()
         make_scene(scene, args.frames, args.size, args.size)
+        meta_path.write_text(json.dumps(meta))
         print(f"# scene generated in {time.time()-t0:.0f}s", flush=True)
 
     sizes = check_segments(scene, args.frames)

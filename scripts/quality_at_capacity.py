@@ -189,9 +189,22 @@ def main():
     args = ap.parse_args()
 
     scene = args.root / "scene"
-    if not (scene / "SynthActor").exists():
+    # Cache key includes the scene parameters: an existence-only check would
+    # silently reuse a stale scene after a --size/--frames change.
+    meta = {"size": args.size, "frames": args.frames}
+    meta_path = scene / "scene_meta.json"
+    cached = (
+        (scene / "SynthActor").exists()
+        and meta_path.exists()
+        and json.loads(meta_path.read_text()) == meta
+    )
+    if not cached:
+        import shutil
+
+        shutil.rmtree(scene, ignore_errors=True)
         print(f"# generating {args.size}^2 x {args.frames}-frame scene ...", flush=True)
         make_scene(scene, args.size, args.size, args.frames)
+        meta_path.write_text(json.dumps(meta))
 
     results = []
     for name in args.only or CONFIGS:

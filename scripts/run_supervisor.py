@@ -31,8 +31,15 @@ def tunnel_alive(timeout: float = 240.0) -> bool:
             [sys.executable, "-c", probe],
             timeout=timeout,
             stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
         )
+        if r.returncode != 0:
+            # A tunnel-down probe usually hangs (TimeoutExpired below); a
+            # nonzero exit is more often a broken env/jax install — surface
+            # the error instead of silently spinning on it forever.
+            tail = (r.stderr or b"").decode(errors="replace").strip().splitlines()
+            print(f"# WATCHDOG: probe exited rc={r.returncode}: "
+                  f"{tail[-1] if tail else '(no stderr)'}", flush=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
@@ -80,6 +87,12 @@ def supervise(
             return BUDGET_RC, restarts
         print(f"# WATCHDOG: tunnel dead before first launch; retrying in {probe_retry_s:.0f}s", flush=True)
         time.sleep(probe_retry_s)
+    # The log-growth signal requires unbuffered child stdout: with plain
+    # file-redirected print() the child flushes on ~8KB boundaries, which at
+    # ~100-byte lines every 2 min is hours between flushes — a healthy child
+    # would look wedged and be killed repeatedly.
+    env = dict(env)
+    env["PYTHONUNBUFFERED"] = "1"
     while True:
         with open(log, "a") as lf:
             proc = subprocess.Popen(cmd, stdout=lf, stderr=subprocess.STDOUT, text=True, cwd=cwd, env=env)
@@ -113,7 +126,9 @@ def supervise(
         while not probe():
             if deadline is not None and time.time() > deadline:
                 print("# WATCHDOG: deadline passed while waiting for the tunnel", flush=True)
-                return BUDGET_RC, restarts
+                # A real child crash (rc not in {0, None}) must stay visible —
+                # BUDGET_RC would mislabel it "partial, resumable".
+                return (rc if rc not in (0, None) else BUDGET_RC), restarts
             print(f"# WATCHDOG: tunnel still dead; retrying in {probe_retry_s:.0f}s", flush=True)
             time.sleep(probe_retry_s)
         print("# WATCHDOG: tunnel healthy — relaunching (resumes from latest checkpoint)", flush=True)

@@ -280,6 +280,28 @@ def test_worker_threads_never_dispatch_jax(mixed_dataset):
         DataLoader._upload_grid = orig
 
 
+def test_pool_snapshot_does_not_alias_entry_arrays(mixed_dataset):
+    """pool_arrays() must deep-copy the entry arrays: on the CPU backend
+    jnp.asarray can alias the numpy buffer zero-copy, so a replacer commit
+    after the snapshot would mutate an already-consumed pool (observed as a
+    mid-commit -1 grid slot leaking into a consumed batch)."""
+    data_dir, _ = mixed_dataset
+    loader = _make_loader(data_dir)
+    try:
+        with loader.data_lock:
+            loader._resolve_pending_grids()
+            pool = loader.pool_arrays()
+            before = np.asarray(pool.grid_slots).copy()
+            # Simulate the replacer's in-place mid-commit write.
+            loader.entry_grid_slots[:] = -1
+            loader.entry_frame_numbers[:] = 999
+        assert (np.asarray(pool.grid_slots) == before).all()
+        assert not (np.asarray(pool.frame_numbers) == 999).any()
+    finally:
+        loader.entry_grid_slots[:] = before  # restore for teardown sanity
+        loader.shutdown()
+
+
 def test_validation_pending_grids_resolved_before_consumption(mixed_dataset):
     """VALIDATION mode: grid uploads queued by the replacer are resolved by
     the consumer before the image's first batch is used."""
