@@ -49,7 +49,7 @@ def test_example_humanrf_tpu_config_overrides_flagship_knobs():
     assert args.model.temporal_partitioning == "adaptive"
     # Flagship overrides applied (and still CLI-overridable).
     assert (args.model.log2_hashmap_size, args.model.n_levels, args.model.n_features_per_level) == (12, 8, 4)
-    assert args.tpu.field_backend == "onehot" and args.tpu.sampling == "proposal"
+    assert args.tpu.field_backend == "fused" and args.tpu.sampling == "proposal"
     pcfg = build_pipeline_config(args)
     assert pcfg.sampling == "proposal"
     assert pcfg.num_rays == 16_384 and pcfg.candidate_rays_factor == 2
