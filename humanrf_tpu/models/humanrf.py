@@ -130,6 +130,16 @@ class HumanRFModel:
                     fused_interpret=(jax.default_backend() != "tpu"),
                 )
             )
+        if cfg.field_backend == "fused" and jax.default_backend() != "tpu":
+            import warnings
+
+            warnings.warn(
+                "field_backend='fused' off-TPU runs the Pallas interpreter — "
+                "correct but pathologically slow to compile at CLI shapes "
+                "(>30 min on CPU). Use --tpu.field_backend onehot for CPU "
+                "runs; it is the same math through plain XLA.",
+                stacklevel=2,
+            )
 
         # Frame → segment / normalized-local-time lookup tables (humanrf.py:79-103).
         sorted_frames = cfg.sorted_frame_numbers
