@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -68,25 +67,9 @@ def check_segments(scene: Path, num_frames: int) -> list:
 
 def summarize_validation(ws: Path) -> list:
     """Per-validation-block mean PSNR/SSIM from validation.txt."""
-    if not (ws / "validation.txt").exists():
-        return []
-    txt = (ws / "validation.txt").read_text()
-    blocks = []
-    for block in txt.split("Step: ")[1:]:
-        lines = block.splitlines()
-        step_no = int(lines[0].strip())
-        psnr = [float(m.group(1)) for ln in lines[1:] if (m := re.search(r"psnr=([\d.]+)", ln))]
-        ssim = [float(m.group(1)) for ln in lines[1:] if (m := re.search(r"ssim=([\d.]+)", ln))]
-        if psnr:
-            blocks.append(
-                {
-                    "step": step_no,
-                    "psnr": round(sum(psnr) / len(psnr), 3),
-                    "ssim": round(sum(ssim) / max(len(ssim), 1), 4),
-                    "n_images": len(psnr),
-                }
-            )
-    return blocks
+    from validation_report import block_means, parse_validation_blocks
+
+    return block_means(parse_validation_blocks(ws))
 
 
 def main():

@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import sys
 import time
 from pathlib import Path
@@ -147,22 +146,9 @@ def run_config(
     # Best validation epoch (the protocol the reference's best-checkpoint
     # gating implements, trainer.py:552-581): per validation block, average
     # the per-image metrics; report the best block.
-    txt = (ws / "validation.txt").read_text()
-    best = {"psnr": 0.0, "ssim": 0.0, "at_step": None, "n_val_images": 0}
-    for block in txt.split("Step: ")[1:]:
-        lines = block.splitlines()
-        step_no = int(lines[0].strip())
-        result["last_val_step"] = step_no
-        psnr = [float(m.group(1)) for ln in lines[1:] if (m := re.search(r"psnr=([\d.]+)", ln))]
-        ssim = [float(m.group(1)) for ln in lines[1:] if (m := re.search(r"ssim=([\d.]+)", ln))]
-        if psnr and sum(psnr) / len(psnr) > best["psnr"]:
-            best = {
-                "psnr": round(sum(psnr) / len(psnr), 3),
-                "ssim": round(sum(ssim) / max(len(ssim), 1), 4),
-                "at_step": step_no,
-                "n_val_images": len(psnr),
-            }
-    result.update(best)
+    from validation_report import best_block, parse_validation_blocks
+
+    result.update(best_block(parse_validation_blocks(ws)))
     return result
 
 
