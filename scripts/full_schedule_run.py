@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 from pathlib import Path
@@ -30,6 +29,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
+from driver_common import compile_cache_env, ensure_scene  # noqa: E402
 from run_supervisor import BUDGET_RC, supervise  # noqa: E402
 
 
@@ -108,24 +108,17 @@ def main():
     args = ap.parse_args()
 
     scene = args.root / "scene"
-    # Cache key includes the scene parameters: an existence-only check would
-    # silently reuse a stale scene after a --size/--frames change.
-    meta = {"size": args.size, "frames": args.frames}
-    meta_path = scene / "scene_meta.json"
-    cached = (
-        (scene / "SynthActor").exists()
-        and meta_path.exists()
-        and json.loads(meta_path.read_text()) == meta
-    )
-    if not cached:
-        import shutil
-
-        shutil.rmtree(scene, ignore_errors=True)
-        print(f"# generating {args.size}^2 x {args.frames}-frame scene ...", flush=True)
-        t0 = time.time()
-        make_scene(scene, args.frames, args.size, args.size)
-        meta_path.write_text(json.dumps(meta))
-        print(f"# scene generated in {time.time()-t0:.0f}s", flush=True)
+    # Cache keyed on the scene parameters; regeneration also clears the
+    # workspace (its `--training.checkpoint latest` state belongs to the old
+    # scene). See driver_common.ensure_scene.
+    t0 = time.time()
+    if ensure_scene(
+        scene,
+        {"size": args.size, "frames": args.frames},
+        lambda root: make_scene(root, args.frames, args.size, args.size),
+        stale_dirs=(args.root / "workspace",),
+    ):
+        print(f"# generated {args.size}^2 x {args.frames}-frame scene in {time.time()-t0:.0f}s", flush=True)
 
     sizes = check_segments(scene, args.frames)
     print(f"# adaptive segment sizes: {sizes}", flush=True)
@@ -177,12 +170,9 @@ def main():
     print("# launching:", " ".join(cmd), flush=True)
     t0 = time.time()
     log = ws / "driver.log"
-    env = dict(os.environ)
     # Persistent XLA compile cache so resumes/retries skip the ~5-min
     # tunnel compile of the chunked step + render programs.
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache_tpu"))
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    env = compile_cache_env(REPO)
     rc, restarts = supervise(
         cmd, log, env, REPO, stall_timeout=args.stall_timeout,
         max_restarts=args.max_restarts, deadline=args.deadline_epoch,

@@ -23,5 +23,5 @@ python scripts/quality_at_capacity.py \
   --only fused-flagship gather-ref-capacity \
   --deadline-epoch "$SWEEP_DEADLINE"
 echo "# sweep done $(date); launching full-schedule run"
-python scripts/full_schedule_run.py --smoke --deadline-epoch "$SCHED_DEADLINE"
+python scripts/full_schedule_run.py --deadline-epoch "$SCHED_DEADLINE"
 echo "# chain done $(date)"

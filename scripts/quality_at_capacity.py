@@ -29,6 +29,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
+from driver_common import compile_cache_env, ensure_scene  # noqa: E402
 from run_supervisor import BUDGET_RC, supervise  # noqa: E402
 
 CONFIGS = {
@@ -121,10 +122,7 @@ def run_config(
         ]
     t0 = time.time()
     ws.mkdir(parents=True, exist_ok=True)
-    env = dict(os.environ)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache_tpu"))
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    env = compile_cache_env(REPO)
     log = ws / "driver.log"
     # Long gather-control runs (~hours) need the tunnel-stall watchdog; the
     # child resumes from its newest checkpoint on relaunch.
@@ -175,22 +173,16 @@ def main():
     args = ap.parse_args()
 
     scene = args.root / "scene"
-    # Cache key includes the scene parameters: an existence-only check would
-    # silently reuse a stale scene after a --size/--frames change.
-    meta = {"size": args.size, "frames": args.frames}
-    meta_path = scene / "scene_meta.json"
-    cached = (
-        (scene / "SynthActor").exists()
-        and meta_path.exists()
-        and json.loads(meta_path.read_text()) == meta
-    )
-    if not cached:
-        import shutil
-
-        shutil.rmtree(scene, ignore_errors=True)
-        print(f"# generating {args.size}^2 x {args.frames}-frame scene ...", flush=True)
-        make_scene(scene, args.size, args.size, args.frames)
-        meta_path.write_text(json.dumps(meta))
+    # Cache keyed on the scene parameters; regeneration also clears the run
+    # workspaces (their `--training.checkpoint latest` state belongs to the
+    # old scene). See driver_common.ensure_scene.
+    if ensure_scene(
+        scene,
+        {"size": args.size, "frames": args.frames},
+        lambda root: make_scene(root, args.size, args.size, args.frames),
+        stale_dirs=(args.root / "runs",),
+    ):
+        print(f"# generated {args.size}^2 x {args.frames}-frame scene", flush=True)
 
     results = []
     for name in args.only or CONFIGS:

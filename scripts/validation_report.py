@@ -17,6 +17,11 @@ def parse_validation_blocks(ws: Path) -> list[dict]:
     blocks = []
     for block in path.read_text().split("Step: ")[1:]:
         lines = block.splitlines()
+        # A watchdog/deadline kill can truncate the file mid-append ("Step: "
+        # with no number, or a garbled header) — skip the bad block rather
+        # than crash the driver that exists to report partial results.
+        if not lines or not lines[0].strip().isdigit():
+            continue
         blocks.append(
             {
                 "step": int(lines[0].strip()),
@@ -46,10 +51,20 @@ def block_means(blocks: list[dict]) -> list[dict]:
 
 def best_block(blocks: list[dict]) -> dict:
     """Best-mean-PSNR block (the reference's best-checkpoint protocol),
-    plus the last validated step — {} if no block has metrics."""
+    plus the last validated step. Stable schema: {} only when no block was
+    parsed at all; a metric-less block set still reports last_val_step so a
+    cut-off run is distinguishable from one that never validated."""
+    if not blocks:
+        return {}
     rows = block_means(blocks)
     if not rows:
-        return {}
+        return {
+            "psnr": 0.0,
+            "ssim": 0.0,
+            "at_step": None,
+            "n_val_images": 0,
+            "last_val_step": blocks[-1]["step"],
+        }
     best = max(rows, key=lambda r: r["psnr"])
     return {
         "psnr": best["psnr"],

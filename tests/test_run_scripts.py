@@ -57,6 +57,48 @@ def test_quality_sweep_best_block_and_partial(tmp_path, monkeypatch):
     assert r["last_val_step"] == 5000
 
 
+def test_parser_survives_truncated_and_metricless_blocks(tmp_path):
+    """A watchdog kill can truncate validation.txt mid-append; the parser must
+    skip garbage instead of crashing the partial-report path, and a
+    header-only block still reports last_val_step."""
+    import validation_report as vr
+
+    (tmp_path / "validation.txt").write_text(VALIDATION_TXT + "Step: ")
+    blocks = vr.parse_validation_blocks(tmp_path)
+    assert [b["step"] for b in blocks] == [2500, 5000]
+
+    (tmp_path / "validation.txt").write_text("Step: 2500\n")
+    best = vr.best_block(vr.parse_validation_blocks(tmp_path))
+    assert best["psnr"] == 0.0 and best["last_val_step"] == 2500
+
+    assert vr.best_block([]) == {}
+
+
+def test_ensure_scene_clears_stale_workspaces(tmp_path):
+    """Regenerating a scene (changed size/frames) must also clear run
+    workspaces: `--training.checkpoint latest` state from the old scene would
+    otherwise be resumed against the new one."""
+    from driver_common import ensure_scene
+
+    scene = tmp_path / "scene"
+    runs = tmp_path / "runs"
+    calls = []
+
+    def gen(root):
+        (root / "SynthActor").mkdir(parents=True)
+        calls.append(root)
+
+    assert ensure_scene(scene, {"size": 192, "frames": 2}, gen, (runs,))
+    (runs / "cfg" / "checkpoints").mkdir(parents=True)
+    # Same params → cached, workspace untouched.
+    assert not ensure_scene(scene, {"size": 192, "frames": 2}, gen, (runs,))
+    assert (runs / "cfg" / "checkpoints").exists()
+    # Changed params → regenerate AND clear the stale workspace.
+    assert ensure_scene(scene, {"size": 384, "frames": 25}, gen, (runs,))
+    assert not runs.exists()
+    assert len(calls) == 2
+
+
 def test_quality_sweep_failure_keeps_log_tail(tmp_path, monkeypatch):
     import quality_at_capacity as qac
 
