@@ -86,6 +86,20 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     n_params = model.num_params(params)
 
+    if backend == "fused" and os.environ.get("BENCH_SKIP_KERNEL_GATE", "0") != "1":
+        # On-device correctness gate: the COMPILED Mosaic kernel (both
+        # variants, both passes) must match the jnp oracle before anything is
+        # timed — interpreter-mode tests can't catch a Mosaic miscompile.
+        from humanrf_tpu.ops.fused_interp import verify_on_device
+
+        t0 = time.time()
+        errs = verify_on_device()
+        print(
+            f"# kernel gate PASS ({time.time()-t0:.1f}s) "
+            + " ".join(f"{v}:fwd={e['fwd']:.1e},bwd={e['bwd']:.1e}" for v, e in errs.items()),
+            file=sys.stderr,
+        )
+
     if sampling == "proposal":
         # Importance sampling: 32 coarse proposal bins (cheap CP field) → 16
         # field samples/ray; supervised rays == valid rays, no budget

@@ -153,7 +153,6 @@ class _tpu_args:
     # for a second cheap-proposal evaluation before the render draw.
     proposal_mid_samples_per_ray: int = 0
     proposal_uniform_bonus: float = 5e-2
-    proposal_anti_collapse_weight: float = 0.0
     # Rank-32 CP proposal: +0.66 dB over rank 16 on the quality sweep (even
     # beating the 2^18 gather field) at ~3% step cost (PERF.md).
     proposal_rank: int = 32
@@ -175,8 +174,9 @@ class _tpu_args:
     # host batches). Through the remote-TPU tunnel a per-step Python dispatch
     # serializes on RTT (measured fixed stalls up to ~10s on a degraded
     # relay); K>1 amortizes it. save/validate cadences must be multiples of
-    # K; max_steps is rounded down to one. Single-device only (DP/FSDP steps
-    # dispatch per-step).
+    # K; max_steps is rounded down to one. Composes with data parallelism
+    # (the scan runs inside the shard_map, batches sharded on rays); FSDP
+    # still dispatches per-step.
     steps_per_dispatch: int = 1
 
 

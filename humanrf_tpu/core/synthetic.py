@@ -10,6 +10,7 @@ observed by cameras on a circle — written in the exact on-disk schema of
 """
 from __future__ import annotations
 
+import functools
 import json
 from dataclasses import dataclass
 from pathlib import Path
@@ -219,7 +220,12 @@ def _render_batch_jax(cfg: SyntheticSceneConfig, H: int, W: int):
     which at 748² × 12 rods costs seconds per image; the fused version is
     bandwidth-minimal and renders a whole frame (all same-shape cameras) per
     dispatch. Returns fn(inv_krs (C,3,3), origins (C,3), center (3,),
-    frame_phase ()) -> (rgb (C,H,W,3) f32, mask (C,H,W) u8).
+    frame_phase ()) -> (rgb (C,H,W,3) u8 in [0,255], mask (C,H,W) u8) — rgb is
+    round(rgb*255) on device to keep a tunnelled device's download at 1 B/px.
+    NOTE: round() differs from the retired numpy generator's truncation cast
+    by up to 1 LSB/channel, so scenes regenerated under a changed scene_meta
+    are not bit-identical to pre-round-3 caches (ensure_scene regenerates on
+    any meta change, so stale caches never mix).
     """
     import jax
     import jax.numpy as jnp
@@ -327,9 +333,6 @@ def _occupancy_grid(
     visual-hull-carved grids the reference's toolbox produces: values {0, 255},
     stored [z][y][x] with corner-aligned voxel coords i/(res-1) − 0.5
     (`occupancy_grid_generation.cu:37,81`)."""
-    import jax
-    import jax.numpy as jnp
-
     res = cfg.grid_resolution
     coords = np.arange(res) / (res - 1) - 0.5
     gz, gy, gx = np.meshgrid(coords, coords, coords, indexing="ij")
@@ -337,14 +340,40 @@ def _occupancy_grid(
     dilation = 1.5 / res
     radius_scaled = cfg.sphere_radius * scene_scale
 
-    # Distance tests fused on the accelerator (a res³ × num_rods numpy sweep
-    # costs seconds per frame at res=128); float32 suffices — the grid is
-    # dilated by 1.5 voxels, dwarfing rounding error on the inequality edge.
+    rod_dirs = _rod_directions(cfg.num_rods) if cfg.num_rods else np.zeros((0, 3))
+    p0s = (center_scaled + rod_dirs * radius_scaled * 0.8).astype(np.float32)
+    p1s = (center_scaled + rod_dirs * (cfg.sphere_radius + cfg.rod_length) * scene_scale).astype(
+        np.float32
+    )
+    flat = pts.reshape(-1, 3)
+    grid = _occupancy_builder()(
+        flat,
+        center_scaled.astype(np.float32),
+        p0s,
+        p1s,
+        np.float32(radius_scaled + dilation),
+        np.float32(cfg.rod_radius * scene_scale + dilation),
+    )
+    return np.asarray(grid).reshape(res, res, res)
+
+
+@functools.lru_cache(maxsize=None)
+def _occupancy_builder():
+    """One jitted voxel-carver shared by every frame/config: the radii arrive
+    as traced scalars and the rod count as a static shape, so re-tracing only
+    happens per distinct (num_voxels, num_rods) shape — not per call (a
+    per-call `@jax.jit` on a fresh closure recompiles every frame).
+
+    Distance tests fused on the accelerator (a res³ × num_rods numpy sweep
+    costs seconds per frame at res=128); float32 suffices — the grid is
+    dilated by 1.5 voxels, dwarfing rounding error on the inequality edge."""
+    import jax
+    import jax.numpy as jnp
+
     @jax.jit
-    def build(flat, center, rod_p0s, rod_p1s):
+    def build(flat, center, rod_p0s, rod_p1s, sphere_r, rod_r):
         dist = jnp.linalg.norm(flat - center, axis=-1)
-        inside = dist <= radius_scaled + dilation
-        rod_r = cfg.rod_radius * scene_scale + dilation
+        inside = dist <= sphere_r
         for i in range(rod_p0s.shape[0]):  # static unroll, num_rods is small
             p0, p1 = rod_p0s[i], rod_p1s[i]
             axis = p1 - p0
@@ -354,15 +383,7 @@ def _occupancy_grid(
             inside |= seg_dist <= rod_r
         return jnp.where(inside, jnp.uint8(255), jnp.uint8(0))
 
-    rod_dirs = _rod_directions(cfg.num_rods) if cfg.num_rods else np.zeros((0, 3))
-    p0s = (center_scaled + rod_dirs * radius_scaled * 0.8).astype(np.float32)
-    p1s = (center_scaled + rod_dirs * (cfg.sphere_radius + cfg.rod_length) * scene_scale).astype(
-        np.float32
-    )
-    flat = pts.reshape(-1, 3)
-    return np.asarray(build(flat, center_scaled.astype(np.float32), p0s, p1s)).reshape(
-        res, res, res
-    )
+    return build
 
 
 def generate_synthetic_dataset(

@@ -62,10 +62,19 @@ def get_vmaf_test_sequence(frame_numbers: List[int], configs: Dict | None = None
 
 def _siggraph_test_sequence(frame_numbers: List[int], configs: Dict) -> Sequence2D:
     hero_part = get_vmaf_test_sequence(frame_numbers, configs)
-    rotation = _SIGGRAPH_LANDSCAPE_ROTATION
+    # The frozen ActorsHQ rotation order, restricted to cameras that exist in
+    # the active test split: with the real dataset splits this keeps the
+    # published order bit-for-bit; with overridden (synthetic) splits it
+    # rotates over whatever non-hero test cameras the rig actually has —
+    # the hardcoded camera ids 63/97/... would index past a small rig.
+    test_cams = set(configs["siggraph_test"])
+    (hero,) = configs["siggraph_vmaf"]
+    rotation = [c for c in _SIGGRAPH_LANDSCAPE_ROTATION if c in test_cams]
+    if not rotation:
+        rotation = [c for c in configs["siggraph_test"] if c != hero]
     landscape_part = [
         (rotation[i % len(rotation)], f) for i, f in enumerate(frame_numbers[::5])
-    ]
+    ] if rotation else []
     return list(set(hero_part) | set(landscape_part))
 
 

@@ -200,3 +200,59 @@ def fused_interp_reference(tables, idx, w):
         tables[:, None, :, :], idx[:, :, None, :], axis=-1
     )  # (P, C, F, N)
     return (gathered * w[:, :, None, :]).sum(axis=1)
+
+
+def verify_on_device(n: int = 65536, seed: int = 0, tol: float = 2e-2) -> dict:
+    """Asserted numerical parity of the COMPILED kernel against the jnp oracle
+    on the current default device — both variants, forward AND backward, at
+    flagship table shapes (P=32 pairs, F=4, T=2048, C=8 corners).
+
+    The interpreter-mode unit tests (tests/test_fused_interp.py) validate the
+    kernel *logic* on CPU; this validates the Mosaic *compilation* on the chip
+    that actually trains — a miscompile or tile-boundary bug would otherwise
+    surface as quietly-wrong training, not a failure. bench.py runs this gate
+    before timing anything, so every recorded bench re-proves the kernel.
+
+    Tolerance is bf16-scaled (the kernel builds rows and feeds the MXU in
+    bf16 with fp32 accumulation): max|err| / max|ref| < tol per output.
+    Returns {variant: {"fwd": err, "bwd": err}} on success; raises
+    AssertionError with the offending variant/pass otherwise.
+    """
+    import numpy as np
+
+    P, F, T, C = 32, 4, 2048, 8
+    rng = np.random.default_rng(seed)
+    tables = jnp.asarray(rng.normal(size=(P, F, T)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, T, (P, C, n)).astype(np.int32))
+    # Realistic corner weights: per sample the 8 trilinear weights sum to 1.
+    w_raw = rng.uniform(0, 1, (P, C, n)).astype(np.float32)
+    w = jnp.asarray(w_raw / w_raw.sum(axis=1, keepdims=True))
+    g = jnp.asarray(rng.normal(size=(P, F, n)).astype(np.float32))
+
+    ref = np.asarray(jax.jit(fused_interp_reference)(tables, idx, w))
+    dt_ref = np.asarray(
+        jax.jit(jax.grad(lambda t: (fused_interp_reference(t, idx, w) * g).sum()))(tables)
+    )
+    fwd_scale = np.max(np.abs(ref)) + 1e-9
+    bwd_scale = np.max(np.abs(dt_ref)) + 1e-9
+
+    errs = {}
+    for variant in ("twolevel", "direct"):
+        out = np.asarray(
+            jax.jit(lambda t, i, ww: fused_interp(t, i, ww, variant, DEFAULT_TILE_N))(
+                tables, idx, w
+            )
+        )
+        e_fwd = float(np.max(np.abs(out - ref)) / fwd_scale)
+        dt = np.asarray(
+            jax.jit(
+                jax.grad(
+                    lambda t: (fused_interp(t, idx, w, variant, DEFAULT_TILE_N) * g).sum()
+                )
+            )(tables)
+        )
+        e_bwd = float(np.max(np.abs(dt - dt_ref)) / bwd_scale)
+        assert e_fwd < tol, f"fused_interp[{variant}] forward miscompiles on {jax.devices()[0]}: scaled err {e_fwd:.3e} >= {tol}"
+        assert e_bwd < tol, f"fused_interp[{variant}] backward miscompiles on {jax.devices()[0]}: scaled err {e_bwd:.3e} >= {tol}"
+        errs[variant] = {"fwd": e_fwd, "bwd": e_bwd}
+    return errs

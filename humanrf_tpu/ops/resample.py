@@ -139,7 +139,6 @@ def proposal_distillation_per_ray(
     fine_t0: jax.Array,
     fine_t1: jax.Array,
     fine_weights: jax.Array,
-    anti_collapse_weight: float = 0.0,
 ) -> jax.Array:
     """mip-NeRF 360 interlevel loss, per ray: the proposal histogram must
     upper-bound the (stop-gradient) fine weights on every fine interval.
@@ -151,18 +150,16 @@ def proposal_distillation_per_ray(
     Gradients flow only into `prop_weights`. Callers mask + average (so the
     normalization can be psum'd exactly under data parallelism).
 
-    ``anti_collapse_weight`` adds the symmetric reverse term
-    ``relu(P − w_f)² / (P + eps)`` which pulls proposal mass DOWN where the
-    fine field carries none. The one-sided loss admits a stable wrong
-    equilibrium (proposal opaque at a phantom surface, fine samples trapped
-    there); the reverse term makes the proposal track the fine distribution
-    both ways so the sampler can escape (see PipelineConfig).
+    The one-sided loss admits a stable wrong equilibrium (proposal opaque at
+    a phantom surface, fine samples trapped there). A symmetric reverse term
+    `relu(P − w_f)²/(P + eps)` was designed for it, A/B'd at 2k steps on the
+    high-detail sweep scene, and REMOVED: it over-constrains the proposal
+    (−0.4 to −1.8 dB vs. the stabilizers that shipped). What actually holds
+    the equilibrium open is `proposal_uniform_bonus` (an exploration floor in
+    the resampling CDF) plus AdamW weight decay draining saturated floaters —
+    both measured and defaulted (PERF.md round-2b stabilizer table).
     """
     w_f = jax.lax.stop_gradient(fine_weights)
     bound = histogram_outer_mass(prop_edges, prop_weights, fine_t0, fine_t1)
     excess = jnp.maximum(w_f - bound, 0.0)
-    loss = (excess**2 / (w_f + 1e-7)).sum(axis=-1)
-    if anti_collapse_weight:
-        over = jnp.maximum(bound - w_f, 0.0)
-        loss = loss + anti_collapse_weight * (over**2 / (bound + 1e-7)).sum(axis=-1)
-    return loss
+    return (excess**2 / (w_f + 1e-7)).sum(axis=-1)

@@ -86,9 +86,19 @@ def make_sharded_train_step(
     width: int,
     height: int,
     mesh: Mesh,
+    k: int = 1,
 ):
     """Returns train_step(params, opt_state, batch, pool, grids, aabb, rng)
-    where `batch` leaves are sharded over rays and everything else replicated."""
+    where `batch` leaves are sharded over rays and everything else replicated.
+
+    ``k > 1`` composes K-steps-per-dispatch with data parallelism: the
+    `lax.scan` over K stacked host batches moves INSIDE the shard_map (batch
+    leaves gain a leading K axis, still sharded on the ray axis), so a DP run
+    through a high-RTT device client is dispatch-rate-independent exactly
+    like the single-chip chunked path. Step i uses `fold_in(rng, i)` —
+    bit-identical to K sequential dispatches of the k=1 sharded step with
+    those keys (tests/test_parallel.py asserts per-leaf equality on the
+    8-device CPU mesh). Returns (params, opt_state, losses[K], auxs[K])."""
     num_devices = mesh.devices.size
     shard_cfg = shard_pipeline_config(cfg, num_devices)
 
@@ -134,15 +144,41 @@ def make_sharded_train_step(
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss, aux
 
-    batch_specs = HostBatch(
-        buffer_idx=P(AXIS), pixel_idx=P(AXIS), rgba=P(AXIS), ray_light_ok=P(AXIS)
-    )
     pool_specs = PoolArrays(*([P()] * len(PoolArrays._fields)))
 
+    if k == 1:
+        batch_specs = HostBatch(
+            buffer_idx=P(AXIS), pixel_idx=P(AXIS), rgba=P(AXIS), ray_light_ok=P(AXIS)
+        )
+        sharded = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_specs, pool_specs, P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    def per_shard_chunk(params, opt_state, batches: HostBatch, pool, grids, aabb, rng):
+        def body(carry, xs):
+            p, o = carry
+            b, i = xs
+            p, o, loss, aux = per_shard(p, o, b, pool, grids, aabb, jax.random.fold_in(rng, i))
+            return (p, o), (loss, aux)
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            body, (params, opt_state), (batches, jnp.arange(k, dtype=jnp.uint32))
+        )
+        return params, opt_state, losses, auxs
+
+    chunk_batch_specs = HostBatch(
+        buffer_idx=P(None, AXIS), pixel_idx=P(None, AXIS),
+        rgba=P(None, AXIS), ray_light_ok=P(None, AXIS),
+    )
     sharded = jax.shard_map(
-        per_shard,
+        per_shard_chunk,
         mesh=mesh,
-        in_specs=(P(), P(), batch_specs, pool_specs, P(), P(), P()),
+        in_specs=(P(), P(), chunk_batch_specs, pool_specs, P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )

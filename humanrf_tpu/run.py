@@ -37,19 +37,35 @@ def build_pipeline_config(config):
         proposal_mid_samples_per_ray=config.tpu.proposal_mid_samples_per_ray,
         proposal_loss_weight=config.tpu.proposal_loss_weight,
         proposal_uniform_bonus=config.tpu.proposal_uniform_bonus,
-        proposal_anti_collapse_weight=config.tpu.proposal_anti_collapse_weight,
         candidate_rays_factor=config.tpu.candidate_rays_factor,
     )
 
 
 def derive_synthetic_presets(dataset) -> dict:
     """Camera splits for synthetic datasets (the frozen ActorsHQ splits assume
-    160 cameras). Train on all but two cameras; one validation, one test."""
+    160 cameras). Mirrors the reference's held-out-camera protocol
+    (`/root/reference/actorshq/evaluation/presets.py:8-28`: 120 train / 10
+    validation / 14 test): the last camera is the test view and, when the rig
+    is big enough, THREE validation cameras are spread evenly over the
+    remaining ring — so every validation block averages >= 3 viewpoints
+    instead of riding on a single held-out image. Small test rigs (< 8
+    cameras) keep a single validation camera so the convergence-gated e2e
+    fixtures retain their training-view coverage."""
     n = len(dataset.cameras)
     assert n >= 3, "synthetic presets need >= 3 cameras"
+    if n < 8:
+        # Small rigs: one validation camera (n-2), one test camera (n-1) —
+        # unchanged from the calibrated e2e convergence gates.
+        val = (n - 2,)
+        train = tuple(range(n - 2))
+    else:
+        # Spread 3 picks over (0, n-1) with endpoints excluded: the first/last
+        # cameras are extreme-parallax anchors that should stay in training.
+        val = tuple(sorted({int(round((i + 1) * (n - 1) / 4)) for i in range(3)}))
+        train = tuple(c for c in range(n - 1) if c not in set(val))
     return {
-        "siggraph_train": tuple(range(n - 2)),
-        "siggraph_train_validation": (n - 2,),
+        "siggraph_train": train,
+        "siggraph_train_validation": val,
         "siggraph_test": (n - 1,),
         "siggraph_vmaf": (n - 1,),
     }

@@ -91,14 +91,6 @@ class PipelineConfig:
     # samples past its phantom surface, so no evidence against it is ever
     # gathered; observed as rising train loss + collapsing val PSNR).
     proposal_uniform_bonus: float = 5e-2
-    # Two-sided distillation: weight of the reverse term penalizing proposal
-    # mass where the fine field has none — relu(P − w_f)²/(P + eps). The
-    # mip-NeRF 360 interlevel loss is one-sided (bound ≥ fine), which leaves a
-    # stable wrong equilibrium: proposal opaque at the hull entry, fine mass
-    # forced there, bound satisfied, nothing ever pulls the proposal back.
-    # The reverse term makes the proposal TRACK fine mass, so when the
-    # photometric loss drains a phantom surface the sampler follows.
-    proposal_anti_collapse_weight: float = 0.0
     # Static candidate-ray compaction: the host ships `factor × num_rays`
     # candidate pixels; after the (cheap) occupancy march, hull-hitting rays
     # are compacted into the `num_rays` render slots. The static-shape analog
@@ -375,7 +367,6 @@ def proposal_render(
     for lvl_edges, lvl_weights in levels:
         prop_loss = prop_loss + proposal_distillation_per_ray(
             lvl_edges, lvl_weights, t_f - 0.5 * dt_f, t_f + 0.5 * dt_f, w_fine,
-            anti_collapse_weight=cfg.proposal_anti_collapse_weight,
         )
     aux = {
         "num_samples": fine_mask.sum(),

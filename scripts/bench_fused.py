@@ -45,6 +45,14 @@ def main():
     tile_n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+    if which != "xla":
+        # Asserted on-device parity (both variants, both passes) before any
+        # timing — a printed checksum is not a correctness gate.
+        from humanrf_tpu.ops.fused_interp import verify_on_device
+
+        errs = verify_on_device()
+        print(f"# kernel gate PASS on {jax.devices()[0]}: {errs}", flush=True)
+
     rng = np.random.default_rng(0)
     tables = jnp.asarray(rng.normal(size=(P, F, T)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, T, (P, C, N)).astype(np.int32))

@@ -176,3 +176,63 @@ def test_quality_cliff_warnings_and_help():
         capture_output=True, text=True,
     ).stdout
     assert "-3.2 dB" in help_text and "-1.9 dB" in help_text
+
+
+def test_derive_synthetic_presets_holds_out_three_validation_cameras():
+    """Big rigs (>= 8 cams) hold out 3 spread validation cameras + 1 test so
+    every validation block averages >= 3 viewpoints (the reference validates
+    on 10 held-out cameras, actorshq/evaluation/presets.py:8-28); small test
+    rigs keep a single validation camera."""
+    from humanrf_tpu.run import derive_synthetic_presets
+
+    class _FakeDataset:
+        def __init__(self, n):
+            self.cameras = [None] * n
+
+    big = derive_synthetic_presets(_FakeDataset(12))
+    assert len(big["siggraph_train_validation"]) == 3
+    assert big["siggraph_test"] == (11,)
+    all_cams = set(big["siggraph_train"]) | set(big["siggraph_train_validation"]) | {11}
+    assert all_cams == set(range(12))  # disjoint, complete partition
+    assert not set(big["siggraph_train"]) & set(big["siggraph_train_validation"])
+    # Spread: no two validation cameras adjacent, endpoints stay in training.
+    val = big["siggraph_train_validation"]
+    assert 0 in big["siggraph_train"] and 10 in big["siggraph_train"]
+    assert min(b - a for a, b in zip(val, val[1:])) >= 2
+
+    small = derive_synthetic_presets(_FakeDataset(6))
+    assert small["siggraph_train_validation"] == (4,)  # unchanged small-rig split
+    assert small["siggraph_test"] == (5,)
+    assert small["siggraph_train"] == (0, 1, 2, 3)
+
+
+def test_siggraph_test_coverage_with_synthetic_override():
+    """`siggraph_test` coverage must not index the hardcoded ActorsHQ landscape
+    rotation (cameras 63/97/...) when the camera configs are overridden for a
+    small synthetic rig — the evaluate phase runs after hours of training and
+    an IndexError there loses the run."""
+    from humanrf_tpu.evaluation import presets
+
+    synth = {
+        "siggraph_train": (0, 1, 2, 3),
+        "siggraph_train_validation": (4,),
+        "siggraph_test": (5,),
+        "siggraph_vmaf": (5,),
+    }
+    frames = list(range(50))
+    seq = presets.get_render_sequence(
+        coverage="siggraph_test", camera_preset="siggraph_test",
+        frame_numbers=frames, camera_configs_override=synth,
+    )
+    assert seq and all(c == 5 for c, _ in seq)  # only the hero exists
+    assert {f for _, f in seq} == set(frames[::3])
+
+    # The frozen ActorsHQ rotation must be untouched by the filter.
+    ref_seq = presets.get_render_sequence(
+        coverage="siggraph_test", camera_preset="siggraph_test", frame_numbers=frames,
+    )
+    rot_frames = [f for c, f in sorted(ref_seq) if c != 126]
+    assert set(rot_frames) <= set(frames[::5])
+    cams_used = {c for c, _ in ref_seq}
+    assert cams_used <= set(presets.camera_configs["siggraph_test"])
+    assert len(cams_used) > 5  # the rotation really rotates

@@ -175,11 +175,13 @@ def test_cli_proposal_sampling_end_to_end(tmp_path):
             "--device", "cpu",
             # 300 steps / 1024 rays / bonus 0.1: the reference-parity BCE
             # gradient spends the first ~120 steps building density fog
-            # before the photometric carves it, and at 512 rays the
-            # gradient noise let ~1/3 of runs lock into a phantom surface
-            # (loader thread timing is racy by design, so runs differ).
-            # Measured over 7 runs (plain + pytest-env): peaks 14.5-24.7;
-            # the phantom-surface divergence mode (steady ~9 dB) is gone.
+            # before the photometric carves it. With the free-running
+            # replacer the batch stream depends on thread timing, and under
+            # full-suite load the 300-step peak had a below-floor tail
+            # (observed 12.48 vs floor 13 on a loaded 1-core host). The
+            # deterministic loader removes the scheduler from the test: the
+            # convergence gate now measures the pipeline, not pytest load.
+            "--dataset.deterministic_loader", "true",
             "--training.max_steps", "300",
             "--training.rays_initial_batch_size", "1024",
             "--training.save_checkpoint_every_n_steps", "300",

@@ -171,3 +171,54 @@ def test_shard_pipeline_config_divides():
     assert s.num_rays == 8 and s.candidate_budget == 256 and s.sample_budget == 128
     with pytest.raises(AssertionError):
         shard_pipeline_config(PipelineConfig(num_rays=65), 8)
+
+
+def test_chunked_dp_matches_sequential_dp_steps():
+    """K-steps-per-dispatch composed with DP (the lax.scan moved inside the
+    shard_map) must match K sequential dispatches of the k=1 sharded step with
+    fold_in(rng, i) keys, per leaf, to fp-reassociation tolerance — the same
+    contract (and tolerance) the single-device chunked path pins in
+    tests/test_chunked_step.py."""
+    model, params, cfg, pool, grids, aabb, _ = _tiny_setup()
+    mesh = make_mesh(8)
+    opt = optax.adam(1e-3)
+    K, num_rays = 3, cfg.num_rays
+
+    rng_host = np.random.default_rng(7)
+    def one_batch():
+        return HostBatch(
+            buffer_idx=jnp.asarray(rng_host.integers(0, 2, num_rays).astype(np.int32)),
+            pixel_idx=jnp.asarray(rng_host.integers(0, 256, num_rays).astype(np.int32)),
+            rgba=jnp.asarray(rng_host.uniform(0, 1, (num_rays, 4)).astype(np.float32)),
+            ray_light_ok=jnp.ones(num_rays, dtype=bool),
+        )
+    batches = [one_batch() for _ in range(K)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    key = jax.random.PRNGKey(3)
+
+    seq_step = make_sharded_train_step(cfg, model, opt, 16, 16, mesh)
+    p_seq = jax.tree_util.tree_map(jnp.copy, params)
+    o_seq = opt.init(params)
+    seq_losses = []
+    for i in range(K):
+        p_seq, o_seq, loss, _ = seq_step(
+            p_seq, o_seq, batches[i], pool, grids, aabb, jax.random.fold_in(key, i)
+        )
+        seq_losses.append(float(loss))
+
+    chunk_step = make_sharded_train_step(cfg, model, opt, 16, 16, mesh, k=K)
+    p_chunk, o_chunk, losses, auxs = chunk_step(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params),
+        stacked, pool, grids, aabb, key,
+    )
+    assert losses.shape == (K,)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq_losses), rtol=1e-6)
+    assert auxs["num_rays_supervised"].shape == (K,)
+
+    flat_seq = jax.tree_util.tree_leaves_with_path(p_seq)
+    flat_chunk = dict(jax.tree_util.tree_leaves_with_path(p_chunk))
+    for path, leaf in flat_seq:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_chunk[path]), rtol=1e-6, atol=1e-7,
+            err_msg=f"chunked-DP diverges from sequential DP at {jax.tree_util.keystr(path)}",
+        )

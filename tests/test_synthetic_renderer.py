@@ -15,6 +15,43 @@ from humanrf_tpu.core.synthetic import (
 )
 
 
+def _assert_masks_match_up_to_silhouette(mask: np.ndarray, mask_ref: np.ndarray, budget: int = 4):
+    """Masks must agree except for a handful of silhouette-boundary pixels:
+    near-tangent rays (discriminant ≈ 0) can legitimately flip between the
+    float32 JAX path and the float64 numpy path, and between backends (TPU vs
+    CPU). Interior flips are real bugs and get no budget."""
+    mismatch = mask.astype(bool) != mask_ref.astype(bool)
+    n_bad = int(mismatch.sum())
+    assert n_bad <= budget, f"{n_bad} mask mismatches (budget {budget})"
+    if n_bad == 0:
+        return
+    # A boundary pixel has both values within its 3x3 neighborhood in the
+    # reference mask (i.e. it touches the silhouette edge).
+    m = mask_ref.astype(bool)
+    pad_t = np.pad(m, 1, constant_values=True)
+    pad_f = np.pad(m, 1, constant_values=False)
+    any_true = np.zeros_like(m)
+    any_false = np.zeros_like(m)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            any_true |= pad_f[dy : dy + m.shape[0], dx : dx + m.shape[1]]
+            any_false |= ~pad_t[dy : dy + m.shape[0], dx : dx + m.shape[1]]
+    boundary = any_true & any_false
+    assert bool(boundary[mismatch].all()), "mask mismatch away from the silhouette boundary"
+
+
+def _assert_rgb_close_u8(rgb_u8: np.ndarray, rgb_ref_f: np.ndarray, mask_ok: np.ndarray):
+    """Colors agree to float32 rounding + uint8 quantization. Both paths are
+    8-bit before hitting disk (the JAX path rounds on device; the numpy path
+    is quantized by the JPEG writer), so ±2 LSB covers the float32 texture
+    phase error without hiding a swapped-axis bug. Pixels whose mask
+    legitimately flipped (silhouette budget) are excluded."""
+    ref_u8 = np.round(rgb_ref_f * 255.0)
+    diff = np.abs(rgb_u8.astype(np.float64) - ref_u8)
+    diff = np.where(mask_ok[..., None], diff, 0.0)
+    assert diff.max() <= 2.0, f"max u8 diff {diff.max()}"
+
+
 def test_jax_renderer_matches_numpy_reference():
     cfg = SyntheticSceneConfig(
         num_cameras=4,
@@ -39,18 +76,16 @@ def test_jax_renderer_matches_numpy_reference():
 
     for ci, cam in enumerate(cams):
         rgb_ref, mask_ref = _render_scene(cfg, cam, center, phase)
-        # Masks must agree exactly: a mask flip moves supervision labels.
-        np.testing.assert_array_equal(masks[ci], mask_ref)
-        # Colors agree to float32-rounding + uint8 quantization (the numpy
-        # path quantizes identically when written to JPEG).
-        ref_u8 = np.round(rgb_ref * 255.0)
-        diff = np.abs(rgbs[ci].astype(np.float64) - ref_u8)
-        assert diff.max() <= 2.0, f"camera {ci}: max u8 diff {diff.max()}"
+        _assert_masks_match_up_to_silhouette(masks[ci], mask_ref)
+        mask_ok = masks[ci].astype(bool) == mask_ref.astype(bool)
+        _assert_rgb_close_u8(rgbs[ci], rgb_ref, mask_ok)
 
 
 def test_jax_renderer_groups_mixed_portrait_shapes():
     # Portrait cameras have swapped width/height; the generator groups by
-    # (H, W), so each group renders with its own jitted shape.
+    # (H, W), so each group renders with its own jitted shape. RGB parity is
+    # asserted for every camera — a transposed texture or swapped focal
+    # specific to the portrait (H, W) group must not pass on shapes alone.
     cfg = SyntheticSceneConfig(
         num_cameras=3, width=32, height=24, num_frames=1, portrait_camera_indices=(1,)
     )
@@ -68,4 +103,7 @@ def test_jax_renderer_groups_mixed_portrait_shapes():
         )
         assert rgbs.shape == (1, cam.height, cam.width, 3)
         rgb_ref, mask_ref = _render_scene(cfg, cam, center, 0.0)
-        np.testing.assert_array_equal(np.asarray(masks)[0], mask_ref)
+        mask = np.asarray(masks)[0]
+        _assert_masks_match_up_to_silhouette(mask, mask_ref)
+        mask_ok = mask.astype(bool) == mask_ref.astype(bool)
+        _assert_rgb_close_u8(np.asarray(rgbs)[0], rgb_ref, mask_ok)
