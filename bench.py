@@ -65,10 +65,16 @@ def main():
     num_rays = int(os.environ.get("BENCH_RAYS", "16384" if sampling == "proposal" else "8192"))
 
     num_frames = 50
+    # BENCH_SEGMENTS=k splits the sequence into k equal temporal segments
+    # (e.g. 2 → [25, 25], the 748² schedule-run shape) to measure the
+    # multi-segment routing cost and the lax.cond segment skip
+    # (models/humanrf.py::features). Default: the single-segment flagship.
+    n_segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
+    assert num_frames % n_segments == 0
     model = HumanRFModel(
         HumanRFConfig(
             sorted_frame_numbers=tuple(range(num_frames)),
-            segment_sizes=(num_frames,),
+            segment_sizes=(num_frames // n_segments,) * n_segments,
             log2_hashmap_size=int(os.environ.get("BENCH_LOG2_T", str(log2_hashmap))),
             # L8/F4: same 32 feature channels as the reference's L16/F2 but half
             # the one-hot construction passes — quality-equal-or-better on the
@@ -153,11 +159,20 @@ def main():
         krs.append(cam.inverse_kr().astype(np.float32))
         origins.append(eye.astype(np.float32))
 
+    # Pool frames: "window" (default) keeps all pool entries inside the first
+    # temporal segment — the loader's frame-window behavior, where the
+    # lax.cond skips every other segment's field. "mixed" alternates segments
+    # so every batch runs all of them (the pre-skip worst case, for A/B).
+    if os.environ.get("BENCH_FRAME_SPREAD", "window") == "mixed" and n_segments > 1:
+        seg_len = num_frames // n_segments
+        pool_frames = (np.arange(num_pool) % n_segments) * seg_len + (np.arange(num_pool) // n_segments) % seg_len
+    else:
+        pool_frames = np.arange(num_pool) % min(num_frames, num_frames // n_segments)
     pool = PoolArrays(
         inverse_krs=jnp.asarray(np.stack(krs)),
         camera_origins=jnp.asarray(np.stack(origins)),
         landscape=jnp.ones(num_pool, dtype=bool),
-        frame_numbers=jnp.asarray(np.arange(num_pool) % num_frames, dtype=jnp.int32),
+        frame_numbers=jnp.asarray(pool_frames, dtype=jnp.int32),
         camera_numbers=jnp.asarray(np.arange(num_pool), dtype=jnp.int32),
         grid_slots=jnp.asarray(np.arange(num_pool) % 2, dtype=jnp.int32),
     )
@@ -257,6 +272,7 @@ def main():
                 "params_millions": round(n_params / 1e6, 2),
                 "sampling": sampling,
                 "backend": backend,
+                "segments": n_segments,
             }
         )
     )

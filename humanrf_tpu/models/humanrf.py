@@ -244,14 +244,29 @@ class HumanRFModel:
         feats = jnp.zeros((positions.shape[0], self.config.total_feature_dim), dtype=jnp.float32)
         for s in range(self.config.num_segments):
             mask = (segment_ids == s)[:, None]
+
             # Zero out inputs of other segments' samples so their gathers hit a
             # single (cached) table line rather than random HBM locations.
-            seg_feats = seg_apply(s)(
+            def _eval(prm, s=s, mask=mask):
+                seg_feats = seg_apply(s)(
+                    prm,
+                    jnp.where(mask, xyz01, 0.0),
+                    jnp.where(mask, times, 0.0),
+                )
+                return jnp.where(mask, seg_feats, 0.0)
+
+            # Skip segments with no samples in this batch entirely: the loader
+            # bounds frames-in-flight to a window (max_num_frames_per_batch),
+            # so most training batches touch ONE segment — where-masking alone
+            # would still run every segment's grid on all N samples (the
+            # bench-vs-trainer throughput gap). The skipped branch contributes
+            # exact zeros (features AND grads), identical to the masked sum.
+            feats = feats + jax.lax.cond(
+                jnp.any(mask),
+                _eval,
+                lambda prm: jnp.zeros_like(feats),
                 params["segments"][s],
-                jnp.where(mask, xyz01, 0.0),
-                jnp.where(mask, times, 0.0),
             )
-            feats = feats + jnp.where(mask, seg_feats, 0.0)
         return feats
 
     def proposal_density(self, params: Dict, positions: jax.Array, frame_numbers: jax.Array) -> jax.Array:
@@ -272,10 +287,17 @@ class HumanRFModel:
         sigma = jnp.zeros(positions.shape[0], dtype=jnp.float32)
         for s in range(self.config.num_segments):
             mask = segment_ids == s
-            seg_sigma = apply_proposal_field(
-                params["proposal"][s], jnp.where(mask[:, None], coords, 0.0), self.proposal_config
+
+            def _eval(prm, mask=mask):
+                seg_sigma = apply_proposal_field(
+                    prm, jnp.where(mask[:, None], coords, 0.0), self.proposal_config
+                )
+                return jnp.where(mask, seg_sigma, 0.0)
+
+            # Same no-samples segment skip as `features` (exact-zero branch).
+            sigma = sigma + jax.lax.cond(
+                jnp.any(mask), _eval, lambda prm: jnp.zeros_like(sigma), params["proposal"][s]
             )
-            sigma = sigma + jnp.where(mask, seg_sigma, 0.0)
         return sigma
 
     def density(self, params: Dict, positions: jax.Array, frame_numbers: jax.Array):

@@ -69,6 +69,41 @@ def test_segment_routing():
     np.testing.assert_allclose(np.asarray(f_mixed[64:]), np.asarray(f_seg1[64:]), rtol=1e-5)
 
 
+def test_segment_skip_gradients():
+    """The lax.cond segment skip (humanrf.py features/proposal_density) must be
+    gradient-identical to the masked sum: segments with no samples in the batch
+    get exact-zero grads, and active segments get the same grads they would in
+    a mixed batch (their samples' contributions are independent of the rest)."""
+    model = _model(segment_sizes=(2, 2), frames=(0, 1, 2, 3))
+    params = model.init_params(jax.random.PRNGKey(0))
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (128, 3), minval=-0.5, maxval=0.5)
+
+    @jax.jit
+    def grads_single(p):
+        return jax.grad(lambda q: model.features(q, pos, jnp.zeros(128, jnp.int32)).sum())(p)
+
+    g_single = grads_single(params)
+    # Inactive segment: the skipped cond branch yields exact zeros.
+    assert all(
+        not np.asarray(x).any() for x in jax.tree_util.tree_leaves(g_single["segments"][1])
+    )
+
+    # Active segment: same grads as the segment-0 half of a mixed batch.
+    pos_mixed = jnp.concatenate([pos, pos])
+    frames_mixed = jnp.concatenate([jnp.zeros(128, jnp.int32), jnp.full((128,), 2, jnp.int32)])
+
+    @jax.jit
+    def grads_mixed(p):
+        return jax.grad(lambda q: model.features(q, pos_mixed, frames_mixed).sum())(p)
+
+    g_mixed = grads_mixed(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_single["segments"][0]),
+        jax.tree_util.tree_leaves(g_mixed["segments"][0]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_segment_hashmap_scaling():
     """Per-segment hashmap size scales with segment length (humanrf.py:106-120)."""
     model = _model(segment_sizes=(50,), frames=tuple(range(50)))
