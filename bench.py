@@ -96,13 +96,25 @@ def main():
         # On-device correctness gate: the COMPILED Mosaic kernel (both
         # variants, both passes) must match the jnp oracle before anything is
         # timed — interpreter-mode tests can't catch a Mosaic miscompile.
+        # Shapes are derived from the ACTUAL benched model (a miscompile can
+        # be shape-specific), for both kernel callsites: the 8-corner grid
+        # interp at (4L, F, T) and the 2-corner vector interp at (4, L·F, R)
+        # (models/fused_field.py::apply_decomposition4d_fused).
         from humanrf_tpu.ops.fused_interp import verify_on_device
 
+        seg0 = params["segments"][0]
+        L_t, F_t, T_t = seg0["xyz"].shape
+        P_v, F_v, R_v = seg0["vectors"].shape
+        tile = model.segment_grid_configs[0].fused_tile_n
         t0 = time.time()
-        errs = verify_on_device()
+        errs = verify_on_device(P=4 * L_t, F=F_t, T=T_t, C=8, tile_n=tile)
+        errs_v = verify_on_device(P=P_v, F=F_v, T=R_v, C=2, tile_n=tile)
         print(
             f"# kernel gate PASS ({time.time()-t0:.1f}s) "
-            + " ".join(f"{v}:fwd={e['fwd']:.1e},bwd={e['bwd']:.1e}" for v, e in errs.items()),
+            f"grids(P={4*L_t},F={F_t},T={T_t}) "
+            + " ".join(f"{v}:fwd={e['fwd']:.1e},bwd={e['bwd']:.1e}" for v, e in errs.items())
+            + f" vectors(P={P_v},F={F_v},T={R_v}) "
+            + " ".join(f"{v}:fwd={e['fwd']:.1e},bwd={e['bwd']:.1e}" for v, e in errs_v.items()),
             file=sys.stderr,
         )
 

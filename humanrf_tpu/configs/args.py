@@ -175,8 +175,8 @@ class _tpu_args:
     # serializes on RTT (measured fixed stalls up to ~10s on a degraded
     # relay); K>1 amortizes it. save/validate cadences must be multiples of
     # K; max_steps is rounded down to one. Composes with data parallelism
-    # (the scan runs inside the shard_map, batches sharded on rays); FSDP
-    # still dispatches per-step.
+    # (the scan runs inside the shard_map, batches sharded on rays) and with
+    # FSDP (the scan carry keeps the table shardings; parallel/fsdp.py).
     steps_per_dispatch: int = 1
 
 

@@ -14,13 +14,21 @@ import functools
 import json
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import cv2
 import numpy as np
 
 from humanrf_tpu.core.aabb import AabbData, write_aabbs_csv
 from humanrf_tpu.core.camera import CameraData, write_calibration_csv
+
+
+# Bump on any renderer-behavior change (pixel values, mask carving, camera
+# minting) so parameter-keyed scene caches regenerate deterministically:
+# scripts/driver_common.py::ensure_scene stamps this into scene_meta.json.
+# History: 2 = numpy truncation cast; 3 = fused JAX renderer with round()
+# quantization (see _render_batch_jax NOTE).
+GENERATOR_VERSION = 3
 
 
 @dataclass
@@ -43,6 +51,13 @@ class SyntheticSceneConfig:
     # exercising the loader's landscape/portrait handling like ActorsHQ's
     # mixed rigs.
     portrait_camera_indices: Tuple[int, ...] = ()
+    # Explicit camera azimuths in radians (overrides the uniform ring when
+    # set; num_cameras is ignored). Elevation keeps the standard
+    # 0.4·sin(2·angle + 0.5) formula so a probe camera minted at a training
+    # azimuth is bit-identical to the training rig's camera there — used by
+    # scripts/parallax_probe.py to mint held-out views at controlled angular
+    # distance from the training ring.
+    camera_angles: Optional[Tuple[float, ...]] = None
     # --- detail controls (quality/capacity experiments, PERF.md) -------------
     # Spatial frequency of the procedural surface texture; ~6 is smooth, ≥30
     # produces the high-frequency detail that separates field capacities.
@@ -74,8 +89,12 @@ def make_cameras(cfg: SyntheticSceneConfig) -> List[CameraData]:
 
     cameras = []
     center = np.array([0.0, 0.0, 0.0])
-    for i in range(cfg.num_cameras):
-        angle = 2 * np.pi * i / cfg.num_cameras
+    angles = (
+        list(cfg.camera_angles)
+        if cfg.camera_angles is not None
+        else [2 * np.pi * i / cfg.num_cameras for i in range(cfg.num_cameras)]
+    )
+    for i, angle in enumerate(angles):
         # Alternate slightly in elevation so the visual hull is well-constrained.
         z = 0.4 * np.sin(2 * angle + 0.5)
         eye = np.array(

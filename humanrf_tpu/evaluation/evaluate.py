@@ -74,8 +74,13 @@ def evaluate(
         )
 
         results["PSNR"].append(compute_psnr(pred_roi, gt_roi, mask=mask_roi))
-        # Honest naming: random-feature fallback scores are never called LPIPS.
-        results[lpips_model.metric_name.upper()].append(lpips_model(pred_roi, gt_roi, normalize=True))
+        # Only real LPIPS reaches metrics.csv/averages.csv: the random-feature
+        # fallback proxy carries no decision-relevant signal (near-zero dynamic
+        # range on the r4 50k run) and is no longer logged (VERDICT r4 #8).
+        if lpips_model.is_pretrained:
+            results[lpips_model.metric_name.upper()].append(
+                lpips_model(pred_roi, gt_roi, normalize=True)
+            )
         results["SSIM"].append(compute_ssim(pred_roi, gt_roi, data_range=1.0))
 
     averages = {}

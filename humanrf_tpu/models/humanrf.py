@@ -261,6 +261,12 @@ class HumanRFModel:
             # would still run every segment's grid on all N samples (the
             # bench-vs-trainer throughput gap). The skipped branch contributes
             # exact zeros (features AND grads), identical to the masked sum.
+            # CAVEAT: under vmap (or any batching transform of features /
+            # proposal_density), lax.cond degrades to a both-branches select —
+            # correctness is unaffected but every segment's field work runs
+            # again, silently re-opening the bench-vs-trainer gap. If a future
+            # render path vmaps over this, restructure to batch outside the
+            # segment loop.
             feats = feats + jax.lax.cond(
                 jnp.any(mask),
                 _eval,

@@ -202,10 +202,24 @@ def fused_interp_reference(tables, idx, w):
     return (gathered * w[:, :, None, :]).sum(axis=1)
 
 
-def verify_on_device(n: int = 65536, seed: int = 0, tol: float = 2e-2) -> dict:
+def verify_on_device(
+    n: int = 65536,
+    seed: int = 0,
+    tol: float = 2e-2,
+    P: int = 32,
+    F: int = 4,
+    T: int = 2048,
+    C: int = 8,
+    tile_n: int = DEFAULT_TILE_N,
+) -> dict:
     """Asserted numerical parity of the COMPILED kernel against the jnp oracle
-    on the current default device — both variants, forward AND backward, at
-    flagship table shapes (P=32 pairs, F=4, T=2048, C=8 corners).
+    on the current default device — both variants, forward AND backward.
+
+    Shapes default to the flagship (P=32 pairs, F=4, T=2048, C=8 corners),
+    but callers that compile *different* shapes must pass them through: a
+    Mosaic miscompile can be shape-specific, so the gate must exercise the
+    same (P, F, T, tile) tilings that get timed/trained (bench.py derives
+    these from the constructed model's table leaves).
 
     The interpreter-mode unit tests (tests/test_fused_interp.py) validate the
     kernel *logic* on CPU; this validates the Mosaic *compilation* on the chip
@@ -220,7 +234,6 @@ def verify_on_device(n: int = 65536, seed: int = 0, tol: float = 2e-2) -> dict:
     """
     import numpy as np
 
-    P, F, T, C = 32, 4, 2048, 8
     rng = np.random.default_rng(seed)
     tables = jnp.asarray(rng.normal(size=(P, F, T)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, T, (P, C, n)).astype(np.int32))
@@ -239,7 +252,7 @@ def verify_on_device(n: int = 65536, seed: int = 0, tol: float = 2e-2) -> dict:
     errs = {}
     for variant in ("twolevel", "direct"):
         out = np.asarray(
-            jax.jit(lambda t, i, ww: fused_interp(t, i, ww, variant, DEFAULT_TILE_N))(
+            jax.jit(lambda t, i, ww: fused_interp(t, i, ww, variant, tile_n))(
                 tables, idx, w
             )
         )
@@ -247,7 +260,7 @@ def verify_on_device(n: int = 65536, seed: int = 0, tol: float = 2e-2) -> dict:
         dt = np.asarray(
             jax.jit(
                 jax.grad(
-                    lambda t: (fused_interp(t, idx, w, variant, DEFAULT_TILE_N) * g).sum()
+                    lambda t: (fused_interp(t, idx, w, variant, tile_n) * g).sum()
                 )
             )(tables)
         )

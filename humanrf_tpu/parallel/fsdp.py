@@ -88,8 +88,11 @@ def opt_state_shardings(optimizer, params, p_shardings, mesh: Mesh):
     )
 
 
-def batch_sharding(mesh: Mesh) -> HostBatch:
-    ray_sharded = NamedSharding(mesh, P(AXIS))
+def batch_sharding(mesh: Mesh, chunked: bool = False) -> HostBatch:
+    """Ray-axis sharding for HostBatch leaves; ``chunked`` adds the leading
+    K (steps-per-dispatch) axis, which stays unsharded."""
+    spec = P(None, AXIS) if chunked else P(AXIS)
+    ray_sharded = NamedSharding(mesh, spec)
     return HostBatch(*([ray_sharded] * len(HostBatch._fields)))
 
 
@@ -100,6 +103,7 @@ def make_fsdp_train_step(
     width: int,
     height: int,
     mesh: Mesh,
+    k: int = 1,
 ):
     """Returns (step, init_state) where
 
@@ -109,9 +113,37 @@ def make_fsdp_train_step(
     - ``step(params, opt_state, batch, pool, grids, aabb, rng)`` has the
       single-device signature; batch leaves are re-committed ray-sharded, and
       XLA partitions the whole program from the argument shardings.
+
+    ``k > 1`` composes K-steps-per-dispatch with FSDP the same way the DP
+    path does (parallel/mesh.py): a `lax.scan` over K stacked host batches
+    (leading K axis on every HostBatch leaf, rays still sharded) runs inside
+    the one jitted program. The scan carry is (params, opt_state); XLA's SPMD
+    partitioner keeps the carry's table shardings step-to-step, so nothing is
+    re-gathered between the K steps. Step i uses `fold_in(rng, i)` — equal to
+    K sequential dispatches of the k=1 FSDP step with those keys to
+    fp-reassociation tolerance
+    (tests/test_fsdp.py::test_fsdp_chunked_matches_sequential).
+    Returns (params, opt_state, losses[K], auxs[K-stacked scalars]).
     """
-    jit_step = make_train_step(cfg, model, optimizer, width, height)
-    b_shard = batch_sharding(mesh)
+    if k == 1:
+        jit_step = make_train_step(cfg, model, optimizer, width, height)
+    else:
+        raw_step = make_train_step(cfg, model, optimizer, width, height, jit=False)
+
+        def chunk(params, opt_state, batches: HostBatch, pool, grids, aabb, rng):
+            def body(carry, xs):
+                p, o = carry
+                b, i = xs
+                p, o, loss, aux = raw_step(p, o, b, pool, grids, aabb, jax.random.fold_in(rng, i))
+                return (p, o), (loss, aux)
+
+            (params, opt_state), (losses, auxs) = jax.lax.scan(
+                body, (params, opt_state), (batches, jnp.arange(k, dtype=jnp.uint32))
+            )
+            return params, opt_state, losses, auxs
+
+        jit_step = jax.jit(chunk, donate_argnums=(0, 1))
+    b_shard = batch_sharding(mesh, chunked=k > 1)
     replicated = NamedSharding(mesh, P())
 
     def init_state(params):

@@ -11,6 +11,7 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
+import json
 import random
 from pathlib import Path
 
@@ -182,6 +183,32 @@ def main(argv=None) -> None:
     camera_configs = presets.camera_configs
     if config.tpu.synthetic_presets:
         camera_configs = derive_synthetic_presets(VolumetricDataset(data_folder))
+        split = {k: list(v) for k, v in camera_configs.items()}
+        print(f"[INFO] derived synthetic camera split: {split}")
+        # The derived split has changed across versions (round 4 moved to 3
+        # spread validation cameras on >=8-camera rigs). Resuming a workspace
+        # whose checkpoints were trained under a different split silently
+        # trains on formerly-held-out views and makes stored best-PSNR /
+        # validation history incomparable — stamp the split and warn loudly.
+        split_path = Path(config.workspace) / "derived_split.json"
+        have_ckpts = any(Path(config.workspace, "checkpoints").glob("*.ckpt"))
+        if split_path.exists():
+            old = json.loads(split_path.read_text())
+            if old != split and have_ckpts:
+                print(
+                    "[WARNING] this workspace's checkpoints were trained under a "
+                    f"DIFFERENT derived camera split ({old}); validation/best-PSNR "
+                    "history is not comparable across the split change — use a "
+                    "fresh workspace unless you know what you are doing"
+                )
+        elif have_ckpts:
+            print(
+                "[WARNING] resuming a workspace with no derived_split.json stamp "
+                "(pre-split-change checkpoints?); validation history may not be "
+                "comparable to the current camera split"
+            )
+        split_path.parent.mkdir(parents=True, exist_ok=True)
+        split_path.write_text(json.dumps(split))
 
     if config.train:
         training_data_loader = DataLoader(

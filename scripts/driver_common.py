@@ -17,7 +17,14 @@ def ensure_scene(scene: Path, meta: dict, generate, stale_dirs: tuple = ()) -> b
     On regeneration, `stale_dirs` (run workspaces with `--training.checkpoint
     latest` state) are removed too — resuming a checkpoint trained on a
     deleted scene would mix scenes in the reported metrics, or crash on a
-    segment/table shape mismatch. Returns True if generated."""
+    segment/table shape mismatch. Returns True if generated.
+
+    The stamp always includes the synthetic renderer's GENERATOR_VERSION, so
+    a renderer-behavior change (which alters pixel values without touching
+    any caller-supplied parameter) also invalidates pre-change caches."""
+    from humanrf_tpu.core.synthetic import GENERATOR_VERSION
+
+    meta = {**meta, "generator_version": GENERATOR_VERSION}
     meta_path = scene / "scene_meta.json"
     cached = (
         (scene / "SynthActor").exists()

@@ -83,6 +83,7 @@ def make_scene(root: Path, width: int, height: int, num_frames: int) -> None:
 def run_config(
     name: str, scene: Path, work: Path, steps: int, extra: list[str],
     frames: int = 2, chunk: int = 1, deadline: float | None = None,
+    stall_timeout: float = 1500.0,
 ) -> dict:
     backend, log2, levels, feats, cfg_extra = CONFIGS[name]
     extra = cfg_extra + extra
@@ -125,9 +126,13 @@ def run_config(
     env = compile_cache_env(REPO)
     log = ws / "driver.log"
     # Long gather-control runs (~hours) need the tunnel-stall watchdog; the
-    # child resumes from its newest checkpoint on relaunch.
+    # child resumes from its newest checkpoint on relaunch. CAUTION: the
+    # trainer prints one log line per 500 steps, so stall_timeout must
+    # comfortably exceed 500 steps of the SLOWEST config (the reference-
+    # capacity gather arm takes ~1400s/500 steps at 384² — a 1500s timeout
+    # killed a healthy child in round 5; use --stall-timeout ~3600 for it).
     rc, restarts = supervise(
-        cmd, log, env, REPO, stall_timeout=1500.0, max_restarts=4, deadline=deadline
+        cmd, log, env, REPO, stall_timeout=stall_timeout, max_restarts=4, deadline=deadline
     )
     elapsed = time.time() - t0
     result = {"name": name, "wall_s": round(elapsed, 1), "rc": rc, "restarts": restarts}
@@ -170,6 +175,11 @@ def main():
         "sweep; a config cut off by it reports its best validation block so "
         "far with partial=true",
     )
+    ap.add_argument(
+        "--stall-timeout", type=float, default=1500.0,
+        help="watchdog: seconds of zero log growth before the child is "
+        "killed+relaunched; must exceed 500 steps of the slowest config",
+    )
     args = ap.parse_args()
 
     scene = args.root / "scene"
@@ -190,6 +200,7 @@ def main():
         r = run_config(
             name, scene, args.root / "runs", args.steps, args.extra.split(),
             frames=args.frames, chunk=args.chunk, deadline=args.deadline_epoch,
+            stall_timeout=args.stall_timeout,
         )
         print(json.dumps(r), flush=True)
         results.append(r)

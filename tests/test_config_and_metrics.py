@@ -236,3 +236,73 @@ def test_siggraph_test_coverage_with_synthetic_override():
     cams_used = {c for c, _ in ref_seq}
     assert cams_used <= set(presets.camera_configs["siggraph_test"])
     assert len(cams_used) > 5  # the rotation really rotates
+
+
+# --------------------------------------------------------------- HBM preflight
+
+
+def test_preflight_hbm_fence(monkeypatch, capsys):
+    """The dense/gather HBM fence (trainer._preflight_hbm_check): an
+    over-limit compiled footprint must raise a RuntimeError naming the
+    measured GiB and the validated downshifts BEFORE any device dispatch —
+    never reach the opaque TPU UNAVAILABLE crash (VERDICT r4 #7)."""
+    import types
+
+    import jax
+    import pytest as _pytest
+
+    from humanrf_tpu.train.trainer import Trainer
+
+    class FakeMA:
+        temp_size_in_bytes = 20 << 30  # 20 GiB of temps
+        argument_size_in_bytes = 2 << 30
+
+    class FakeCompiled:
+        def memory_analysis(self):
+            return FakeMA()
+
+    class FakeLowered:
+        def compile(self):
+            return FakeCompiled()
+
+    class FakeJit:
+        def lower(self, *a):
+            return FakeLowered()
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30}  # v5e
+
+    class FakeCfg:
+        num_rays = 16384
+        sampling = "dense"
+
+    class FakeModelCfg:
+        field_backend = "gather"
+
+    self = types.SimpleNamespace(
+        train_step_fn=FakeJit(),
+        pcfg=FakeCfg(),
+        model=types.SimpleNamespace(config=FakeModelCfg()),
+        _log_info=lambda t: print(f"[INFO] {t}"),
+        _log_warning=lambda t: print(f"[WARNING] {t}"),
+    )
+    monkeypatch.setattr(jax, "devices", lambda *a: [FakeDev()])
+    with _pytest.raises(RuntimeError, match=r"22\.00 GiB.*16\.00 GiB.*proposal"):
+        Trainer._preflight_hbm_check(self, None)
+
+    # Under-limit but >92%: warns, does not raise.
+    FakeMA.temp_size_in_bytes = 13 << 30
+    Trainer._preflight_hbm_check(self, None)
+    out = capsys.readouterr().out
+    assert "[WARNING]" in out and "%" in out
+
+    # Comfortable fit: info only.
+    FakeMA.temp_size_in_bytes = 4 << 30
+    Trainer._preflight_hbm_check(self, None)
+    out = capsys.readouterr().out
+    assert "[WARNING]" not in out and "footprint" in out
+
+    # Wrapped (non-jit) steps are skipped silently.
+    self.train_step_fn = lambda *a: None
+    Trainer._preflight_hbm_check(self, None)

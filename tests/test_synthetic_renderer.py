@@ -107,3 +107,30 @@ def test_jax_renderer_groups_mixed_portrait_shapes():
         _assert_masks_match_up_to_silhouette(mask, mask_ref)
         mask_ok = mask.astype(bool) == mask_ref.astype(bool)
         _assert_rgb_close_u8(np.asarray(rgbs)[0], rgb_ref, mask_ok)
+
+
+def test_camera_angles_override_matches_ring():
+    """Explicit camera_angles (scripts/parallax_probe.py): a probe camera
+    minted at a uniform-ring azimuth must be bit-identical to the ring
+    camera there, and arbitrary azimuths must land where requested."""
+    import math
+
+    import numpy as np
+
+    from humanrf_tpu.core.synthetic import SyntheticSceneConfig, make_cameras
+
+    ring = make_cameras(SyntheticSceneConfig(num_cameras=12))
+    probe = make_cameras(
+        SyntheticSceneConfig(
+            num_cameras=3,
+            camera_angles=(2 * math.pi * 2 / 12, math.radians(75.0), 2 * math.pi * 11 / 12),
+        )
+    )
+    assert len(probe) == 3
+    np.testing.assert_array_equal(probe[0].translation, ring[2].translation)
+    np.testing.assert_array_equal(probe[0].rotation_axisangle, ring[2].rotation_axisangle)
+    np.testing.assert_array_equal(probe[2].translation, ring[11].translation)
+    # The off-ring azimuth lands at the requested angle/elevation.
+    a = math.radians(75.0)
+    expect = np.array([3.0 * math.cos(a), 3.0 * math.sin(a), 0.4 * math.sin(2 * a + 0.5)])
+    np.testing.assert_allclose(probe[1].translation, expect, rtol=1e-12)
