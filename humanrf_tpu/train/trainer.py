@@ -249,11 +249,20 @@ class Trainer:
             self._log_info(f"HBM preflight unavailable on this backend ({type(e).__name__}); skipping")
             return
         dev = jax.devices()[0]
+        gib = 1 << 30
         try:
             limit = int(dev.memory_stats()["bytes_limit"])
         except Exception:
-            limit = None
-        gib = 1 << 30
+            # memory_stats is unavailable through some device clients (the
+            # axon tunnel); fall back to the device kind's HBM size so the
+            # fence still works where the crash actually happens.
+            kind = getattr(dev, "device_kind", "") or ""
+            by_kind = {"TPU v5 lite": 16, "TPU v5e": 16, "TPU v5p": 96, "TPU v4": 32, "TPU v6": 32}
+            limit = next(
+                (s * gib for k, s in by_kind.items() if kind.startswith(k)), None
+            )
+            if limit is not None:
+                self._log_info(f"device memory limit inferred from kind '{kind}': {limit // gib} GiB")
         if limit is None:
             self._log_info(
                 f"train step footprint: {need / gib:.2f} GiB "

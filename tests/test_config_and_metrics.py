@@ -303,6 +303,22 @@ def test_preflight_hbm_fence(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "[WARNING]" not in out and "footprint" in out
 
+    # memory_stats unavailable (the axon tunnel): the limit falls back to the
+    # device kind's HBM size, so the fence still fires on the real chip.
+    class TunnelDev:
+        device_kind = "TPU v5 lite"
+
+        def memory_stats(self):
+            raise RuntimeError("unsupported through this client")
+
+    monkeypatch.setattr(jax, "devices", lambda *a: [TunnelDev()])
+    FakeMA.temp_size_in_bytes = 20 << 30
+    self.train_step_fn = FakeJit()
+    with _pytest.raises(RuntimeError, match=r"16\.00 GiB"):
+        Trainer._preflight_hbm_check(self, None)
+    out = capsys.readouterr().out
+    assert "inferred from kind" in out
+
     # Wrapped (non-jit) steps are skipped silently.
     self.train_step_fn = lambda *a: None
     Trainer._preflight_hbm_check(self, None)
