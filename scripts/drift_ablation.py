@@ -24,9 +24,14 @@ Verdict criterion: an arm whose validation at 27,500 is within 0.5 dB of the
 (~-2.3 dB at 27,500) confirms the effect is hyperparameter-driven, not a
 resume artifact.
 
+Schedule parity: every arm keeps `--training.max_steps 50000`, so the lr
+schedule (0.5^(step/max_steps), trainer.py::make_lr_schedule) is IDENTICAL
+to the original run's — arms are cut by a per-arm wall-clock deadline
+instead (the supervisor's BUDGET_RC partial-result path; validation blocks
+land every 2,500 steps regardless of where the cut falls).
+
 Usage:
-    python scripts/drift_ablation.py --arms wd0.03 wd0 [--steps 10000]
-        [--deadline-epoch E]
+    python scripts/drift_ablation.py --arms wd0.03 wd0 [--minutes 80]
 """
 from __future__ import annotations
 
@@ -103,11 +108,14 @@ def seed_workspace(ws: Path) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arms", nargs="+", default=["wd0.03", "wd0"], choices=list(ARMS))
-    ap.add_argument("--steps", type=int, default=10_000, help="steps beyond the resume point")
+    ap.add_argument(
+        "--minutes", type=float, default=80.0,
+        help="wall-clock budget per arm (cuts the run; ~10k steps at the "
+        "measured 748² rate); the lr horizon stays the full 50k schedule",
+    )
     ap.add_argument("--root", type=Path, default=Path("/tmp/drift_ablation"))
     ap.add_argument("--scene-root", type=Path, default=Path("/tmp/full_schedule"))
     ap.add_argument("--out", type=Path, default=Path("/tmp/drift_ablation/results.json"))
-    ap.add_argument("--deadline-epoch", type=float, default=None)
     args = ap.parse_args()
 
     scene = args.scene_root / "scene"
@@ -122,18 +130,18 @@ def main():
         print("# regenerated the 748² x 50-frame scene", flush=True)
     assert BEST_CKPT.exists(), f"missing resume checkpoint {BEST_CKPT}"
 
-    max_steps = RESUME_STEP + args.steps
     env = compile_cache_env(REPO)
     results = []
     for name in args.arms:
         ws = args.root / name
         seed_workspace(ws)
-        cmd = arm_cmd(name, scene, ws, max_steps)
-        print(f"# arm {name}: resume {RESUME_STEP} -> {max_steps}", flush=True)
+        cmd = arm_cmd(name, scene, ws, 50_000)  # full lr horizon; deadline cuts
+        deadline = time.time() + args.minutes * 60.0
+        print(f"# arm {name}: resume {RESUME_STEP}, {args.minutes:.0f} min budget", flush=True)
         t0 = time.time()
         rc, restarts = supervise(
             cmd, ws / "driver.log", env, REPO,
-            stall_timeout=1500.0, max_restarts=4, deadline=args.deadline_epoch,
+            stall_timeout=1500.0, max_restarts=4, deadline=deadline,
         )
         r = {
             "name": name, "rc": rc, "restarts": restarts,
