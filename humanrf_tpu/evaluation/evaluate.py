@@ -74,6 +74,11 @@ def evaluate(
         )
 
         results["PSNR"].append(compute_psnr(pred_roi, gt_roi, mask=mask_roi))
+        # Companion unmasked-ROI PSNR: the metric style trainer validation
+        # reports. Masked (foreground-only) PSNR runs ~4.7 dB lower on
+        # identical images (scripts/metric_style_decomposition.py) — without
+        # this column, validation vs evaluate numbers are not comparable.
+        results["PSNR_ROI"].append(compute_psnr(pred_roi, gt_roi))
         # Only real LPIPS reaches metrics.csv/averages.csv: the random-feature
         # fallback proxy carries no decision-relevant signal (near-zero dynamic
         # range on the r4 50k run) and is no longer logged (VERDICT r4 #8).

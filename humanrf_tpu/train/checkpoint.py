@@ -20,11 +20,27 @@ from flax import serialization
 
 CHECKPOINT_SUFFIX = ".ckpt"
 
+# msgpack caps a single bin object at 2**32 - 1 bytes. to_bytes(opt_state) for a
+# reference-capacity model (~537M params → Adam mu+nu ≈ 4.3 GB in one blob)
+# exceeds that when re-wrapped as one payload entry, so any section larger than
+# _MAX_SECTION is stored as a list of chunks instead of a single bytes object.
+_MAX_SECTION = 1 << 30  # 1 GiB per chunk, far under the msgpack bin limit
+
+
+def _split(blob: bytes):
+    if len(blob) <= _MAX_SECTION:
+        return blob
+    return [blob[i : i + _MAX_SECTION] for i in range(0, len(blob), _MAX_SECTION)]
+
+
+def _join(section) -> bytes:
+    return section if isinstance(section, bytes) else b"".join(section)
+
 
 def save_checkpoint(path: Path, params, opt_state, step: int, val_step: int, stats: Dict[str, Any]) -> None:
     payload = {
-        "params": serialization.to_bytes(params),
-        "opt_state": serialization.to_bytes(opt_state),
+        "params": _split(serialization.to_bytes(params)),
+        "opt_state": _split(serialization.to_bytes(opt_state)),
         "meta": json.dumps({"step": step, "val_step": val_step, "stats": stats}).encode(),
     }
     blob = serialization.msgpack_serialize(payload)
@@ -35,10 +51,10 @@ def save_checkpoint(path: Path, params, opt_state, step: int, val_step: int, sta
 
 def load_checkpoint(path: Path, params_template, opt_state_template) -> Tuple[Any, Any, int, int, Dict]:
     payload = serialization.msgpack_restore(Path(path).read_bytes())
-    params = serialization.from_bytes(params_template, payload["params"])
+    params = serialization.from_bytes(params_template, _join(payload["params"]))
     opt_state = None
     if opt_state_template is not None:
-        opt_state = serialization.from_bytes(opt_state_template, payload["opt_state"])
+        opt_state = serialization.from_bytes(opt_state_template, _join(payload["opt_state"]))
     meta = json.loads(payload["meta"].decode())
     return params, opt_state, meta["step"], meta["val_step"], meta["stats"]
 

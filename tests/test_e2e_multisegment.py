@@ -88,3 +88,8 @@ def test_multisegment_training_and_evaluate(moving_dataset, tmp_path):
     assert "PSNR" in averages[0]
     psnr = float(averages[1].split(",")[averages[0].split(",").index("PSNR")])
     assert np.isfinite(psnr)
+    # The unmasked-ROI companion column (validation-metric style) must be
+    # present so evaluate numbers are comparable against validation.txt.
+    assert "PSNR_ROI" in averages[0]
+    psnr_roi = float(averages[1].split(",")[averages[0].split(",").index("PSNR_ROI")])
+    assert np.isfinite(psnr_roi)

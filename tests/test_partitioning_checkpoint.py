@@ -85,3 +85,41 @@ def test_checkpoint_roundtrip(tmp_path):
     assert resolve_checkpoint(tmp_path, "best") is None
     assert resolve_checkpoint(tmp_path, str(path)) == path
     assert resolve_checkpoint(tmp_path, None) is None
+
+
+def test_checkpoint_chunked_sections(tmp_path, monkeypatch):
+    """Sections larger than the chunk limit round-trip as chunk lists.
+
+    Reference-capacity models (~537M params) produce >4 GiB opt_state blobs
+    which exceed msgpack's 2**32-1 single-bin cap; save_checkpoint splits any
+    oversized section. Shrink the limit so the path is exercised cheaply.
+    """
+    import jax.numpy as jnp
+
+    from humanrf_tpu.train import checkpoint as ckpt
+
+    monkeypatch.setattr(ckpt, "_MAX_SECTION", 64)
+    params = {"w": jnp.arange(128, dtype=jnp.float32)}  # 512B blob > 64B limit
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    path = tmp_path / "step_00000005.ckpt"
+    ckpt.save_checkpoint(path, params, opt_state, step=5, val_step=0, stats={})
+
+    # the on-disk payload really is chunked
+    from flax import serialization
+
+    payload = serialization.msgpack_restore(path.read_bytes())
+    assert isinstance(payload["params"], (list, tuple)) and len(payload["params"]) > 1
+
+    p2, o2, step, _, _ = ckpt.load_checkpoint(path, params, opt_state)
+    assert step == 5
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(params["w"]))
+
+    # and an unchunked file written by the old format still loads
+    monkeypatch.setattr(ckpt, "_MAX_SECTION", 1 << 30)
+    ckpt.save_checkpoint(path, params, opt_state, step=6, val_step=0, stats={})
+    payload = serialization.msgpack_restore(path.read_bytes())
+    assert isinstance(payload["params"], bytes)
+    p3, _, step6, _, _ = ckpt.load_checkpoint(path, params, opt_state)
+    assert step6 == 6
